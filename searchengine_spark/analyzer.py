@@ -1,0 +1,146 @@
+"""Text analysis: tokenizers as vectorized Arrow/pandas UDFs.
+
+Mirrors the reference's analyzer behavior (QryParser.java:45-51,
+QryParser.tokenizeString QryParser.java:442-459): lowercase, punctuation
+splitting (``near-death`` -> ``near``, ``death``), optional stopword removal
+and Krovetz-style stemming. Two registered analyzers:
+
+- ``simple``  — lowercase + ``[a-z0-9]+`` extraction; no stopwords, no stem.
+  (Exactly reproducible in ANSI SQL / DuckDB for the correctness oracle.)
+- ``english`` — same tokenization, Lucene-style English stopword removal with
+  **position slots preserved** (stopword -> empty string, mirroring the
+  TermVector stem-0 convention, TermVector.java:18-20), plus a light
+  Krovetz-style inflectional stemmer (HW1-5 behavior; pass ``stem=False``
+  for the HW6 no-stem configuration, QryParser.java:48-50).
+
+The same pure-Python functions run inside pandas UDFs (executor side) and in
+the test oracle (driver side), so index and oracle tokenize identically.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+# Lucene EnglishAnalyzer default stop set (public, org.apache.lucene.analysis.en)
+LUCENE_STOPWORDS = frozenset(
+    """a an and are as at be but by for if in into is it no not of on or such
+    that the their then there these they this to was will with""".split()
+)
+
+
+def krovetz_lite(word: str) -> str:
+    """Light inflectional stemmer (Krovetz-style: plurals, -ed, -ing).
+
+    A deterministic approximation of KStem's inflectional rules — enough to
+    conflate ``tables/table``, ``merged/merge``, ``running/run``. Used
+    identically at index and query time so conflation is self-consistent.
+    """
+    w = word
+    n = len(w)
+    if n <= 3 or not w.isalpha():
+        return w
+    # plurals
+    if w.endswith("ies") and n > 4:
+        return w[:-3] + "y"
+    if w.endswith("sses"):
+        return w[:-2]
+    if w.endswith("ss") or w.endswith("us"):
+        return w
+    if w.endswith("es") and n > 4:
+        stem = w[:-2]
+        if stem.endswith(("x", "ch", "sh", "z", "s")):
+            return stem
+        return w[:-1]
+    if w.endswith("s"):
+        return w[:-1]
+    # past tense
+    if w.endswith("ied") and n > 4:
+        return w[:-3] + "y"
+    if w.endswith("ed") and n > 4:
+        stem = w[:-2]
+        if len(stem) >= 3 and stem[-1] == stem[-2] and stem[-1] not in "lsz":
+            return stem[:-1]
+        return stem + "e" if _wants_e(stem) else stem
+    # progressive
+    if w.endswith("ing") and n > 5:
+        stem = w[:-3]
+        if len(stem) >= 3 and stem[-1] == stem[-2] and stem[-1] not in "lsz":
+            return stem[:-1]
+        return stem + "e" if _wants_e(stem) else stem
+    return w
+
+
+def _wants_e(stem: str) -> bool:
+    """Heuristic: restore trailing 'e' (merg -> merge, scor -> score)."""
+    if len(stem) < 3:
+        return False
+    c, v = stem[-1], stem[-2]
+    if c in "aeiouwxy":
+        return False
+    # CVC pattern (scor -> score) or e-taking finals after a consonant
+    # cluster (merg -> merge, danc -> dance, serv -> serve)
+    return v in "aeiou" or c in "cgvz"
+
+
+@dataclass(frozen=True)
+class Analyzer:
+    """Tokenization config; ``tokens()`` keeps stopword slots as ''."""
+
+    name: str
+    stop: bool = False
+    stem: bool = False
+
+    def tokens(self, text: str) -> list[str]:
+        """Full position-preserving token stream ('' = removed stopword)."""
+        if text is None:
+            return []
+        out = TOKEN_RE.findall(text.lower())
+        if self.stop or self.stem:
+            for i, t in enumerate(out):
+                if self.stop and t in LUCENE_STOPWORDS:
+                    out[i] = ""
+                elif self.stem:
+                    out[i] = krovetz_lite(t)
+        return out
+
+    def terms(self, text: str) -> list[str]:
+        """Query-side tokenization: stopword slots dropped."""
+        return [t for t in self.tokens(text) if t]
+
+
+ANALYZERS: dict[str, Analyzer] = {
+    "simple": Analyzer("simple", stop=False, stem=False),
+    "english": Analyzer("english", stop=True, stem=True),
+    "english_nostem": Analyzer("english_nostem", stop=True, stem=False),
+}
+
+
+def get_analyzer(name: str) -> Analyzer:
+    try:
+        return ANALYZERS[name]
+    except KeyError:
+        raise ValueError(f"unknown analyzer {name!r}; have {sorted(ANALYZERS)}")
+
+
+def tokenize_udf(analyzer: str | Analyzer):
+    """Arrow-batched pandas UDF: string column -> array<string> token slots.
+
+    Stopword slots come back as '' so positions survive the JVM-side
+    ``posexplode``; downstream filters ``token != ''`` before building
+    postings. Field length = size(array) — includes stopword positions,
+    matching the reference (Idx.java:97).
+    """
+    an = get_analyzer(analyzer) if isinstance(analyzer, str) else analyzer
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _tok(texts: pd.Series) -> pd.Series:
+        return texts.map(an.tokens)
+
+    return _tok

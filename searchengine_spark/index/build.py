@@ -1,0 +1,334 @@
+"""Inverted-index build: docs -> positional postings DataFrames.
+
+The reference consumed prebuilt Lucene indexes; this module is the half
+Lucene did for it, re-expressed as a Spark job (cf. SURVEY.md §1.4, §7.3).
+
+Layout (chosen for 100 TB scale, not translated from the reference):
+
+- ``postings``   — one row per (term, field, doc): ``term string, field
+  string, doc_id long, tf int, doc_len int, positions binary``. Positions are
+  docID-delta + varbyte compressed (codec.py). ``doc_len`` is denormalized
+  onto the posting row so BM25/Indri leaf scoring needs **no join** — the
+  whole scorer is a column expression over one scan. Parquet dictionary/RLE
+  encoding makes the duplication cheap; the join it removes would shuffle
+  the full candidate set per query.
+- ``term_stats`` — per (term, field): ``df long, ctf long`` (InvList.java
+  header equivalents), broadcast-joined at query time.
+- ``doc_stats``  — per (doc_id, field): ``doc_len int`` (Idx.getFieldLength).
+- ``block_stats``— per (term, field, doc-id-range block): ``max_tf, min_len,
+  n`` — block-max metadata for WAND-style top-k pruning. Blocks are fixed
+  doc-id ranges (pure map-side agg — no per-term window, so head-term skew
+  never funnels one term through one task).
+- ``meta``       — corpus scalars: n_docs, per-field doc_count / sum_len /
+  avg_len, analyzer name.
+
+Skew note: the only wide ops are ``groupBy(term, field, doc_id)`` (key
+cardinality ~ #distinct-(term,doc) pairs — naturally balanced) and
+``groupBy(term, field)`` for df/ctf (partial aggregation map-side combines
+head terms before the shuffle). We never ``collect_list`` a full posting
+list per term, so stopword-grade terms cannot blow a single reducer.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from dataclasses import dataclass, field as dc_field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import BinaryType
+
+from searchengine_spark.analyzer import get_analyzer, tokenize_udf
+from searchengine_spark.codec import encode_positions
+
+DEFAULT_FIELDS = ("body",)
+BLOCK_RANGE = 4096  # doc ids per block-max block
+
+
+@F.pandas_udf(BinaryType())
+def _encode_positions_udf(pos_lists: pd.Series) -> pd.Series:
+    return pos_lists.map(lambda p: encode_positions(p))
+
+
+@dataclass
+class InvertedIndex:
+    """Handle to the built index (lazy DataFrames + broadcast scalars)."""
+
+    spark: SparkSession
+    postings: DataFrame
+    term_stats: DataFrame
+    doc_stats: DataFrame
+    block_stats: DataFrame | None
+    docs: DataFrame  # doc_id, ext_id (+ any metadata attribute columns)
+    n_docs: int
+    field_stats: dict  # field -> {doc_count, sum_len, avg_len}
+    analyzer: str
+    fields: tuple = dc_field(default=DEFAULT_FIELDS)
+
+    def avg_len(self, fld: str) -> float:
+        return self.field_stats[fld]["avg_len"]
+
+    def sum_len(self, fld: str) -> int:
+        return self.field_stats[fld]["sum_len"]
+
+    def doc_count(self, fld: str) -> int:
+        return self.field_stats[fld]["doc_count"]
+
+
+def build_index(
+    docs: DataFrame,
+    fields: dict[str, str] | None = None,
+    doc_id_col: str = "doc_id",
+    ext_id_col: str | None = None,
+    analyzer: str = "english",
+    with_blocks: bool = True,
+    cache: bool = True,
+) -> InvertedIndex:
+    """Tokenize ``docs`` and build the postings/stats DataFrames.
+
+    ``fields`` maps index field name -> source column (e.g. ``{"body":
+    "text", "title": "title"}``). Docs must carry a unique numeric
+    ``doc_id`` (dense ids are the caller's job — e.g. ``row_number`` over
+    url — so rebuilds are deterministic).
+    """
+    spark = docs.sparkSession
+    fields = fields or {"body": "text"}
+    an = get_analyzer(analyzer)
+    tok = tokenize_udf(an)
+    ext = ext_id_col or doc_id_col
+
+    per_field = []
+    stats_rows = []
+    for fld, src in fields.items():
+        toks = docs.select(
+            F.col(doc_id_col).cast("long").alias("doc_id"),
+            tok(F.col(src).cast("string")).alias("toks"),
+        ).select("doc_id", "toks", F.size("toks").alias("doc_len"))
+        exploded = (
+            toks.select("doc_id", "doc_len", F.posexplode("toks").alias("pos", "term"))
+            .where(F.col("term") != "")
+        )
+        postings_f = (
+            exploded.groupBy("term", "doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("int").alias("tf"),
+                F.first("doc_len").cast("int").alias("doc_len"),
+                F.sort_array(F.collect_list("pos")).alias("pos_arr"),
+            )
+            .select(
+                "term",
+                F.lit(fld).alias("field"),
+                "doc_id",
+                "tf",
+                "doc_len",
+                _encode_positions_udf("pos_arr").alias("positions"),
+            )
+        )
+        per_field.append(postings_f)
+        stats_rows.append(
+            toks.where(F.col("doc_len") > 0).select(
+                F.lit(fld).alias("field"),
+                F.col("doc_id"),
+                F.col("doc_len"),
+            )
+        )
+
+    postings = per_field[0]
+    for p in per_field[1:]:
+        postings = postings.unionByName(p)
+    if cache:
+        postings = postings.persist()
+
+    doc_stats = stats_rows[0]
+    for s in stats_rows[1:]:
+        doc_stats = doc_stats.unionByName(s)
+    doc_stats = doc_stats.select("doc_id", "field", "doc_len")
+
+    term_stats = postings.groupBy("term", "field").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("ctf"),
+    )
+
+    block_stats = None
+    if with_blocks:
+        block_stats = postings.groupBy(
+            "term", "field", (F.col("doc_id") / BLOCK_RANGE).cast("long").alias("block_id")
+        ).agg(
+            F.max("tf").alias("max_tf"),
+            F.min("doc_len").alias("min_len"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    # corpus scalars (one small action; broadcast by value afterwards)
+    n_docs = docs.count()
+    fs_rows = (
+        doc_stats.groupBy("field")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum("doc_len").alias("sum_len"),
+        )
+        .collect()
+    )
+    field_stats = {
+        r["field"]: {
+            "doc_count": int(r["doc_count"]),
+            "sum_len": int(r["sum_len"]),
+            "avg_len": float(r["sum_len"]) / max(1, int(r["doc_count"])),
+        }
+        for r in fs_rows
+    }
+    for fld in fields:
+        field_stats.setdefault(fld, {"doc_count": 0, "sum_len": 0, "avg_len": 0.0})
+
+    doc_cols = [F.col(doc_id_col).cast("long").alias("doc_id"), F.col(ext).cast("string").alias("ext_id")]
+    extra = [c for c in docs.columns if c not in (doc_id_col, ext)]
+    docs_meta = docs.select(*doc_cols, *[F.col(c) for c in extra])
+
+    return InvertedIndex(
+        spark=spark,
+        postings=postings,
+        term_stats=term_stats,
+        doc_stats=doc_stats,
+        block_stats=block_stats,
+        docs=docs_meta,
+        n_docs=n_docs,
+        field_stats=field_stats,
+        analyzer=analyzer,
+        fields=tuple(fields),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint-resumable persisted layout (north_rule: per-partition lineage)
+# ---------------------------------------------------------------------------
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(path, "_manifest")
+
+
+def _bucket_entry(path: str, bucket: int) -> str:
+    return os.path.join(_manifest_dir(path), f"bucket-{bucket:05d}.json")
+
+
+def write_index(
+    index: InvertedIndex,
+    path: str,
+    buckets: int = 16,
+    fingerprint: str | None = None,
+    resume: bool = True,
+) -> dict:
+    """Persist the index, bucketed by ``xxhash64(term)`` with a lineage
+    manifest per bucket (input fingerprint, rows, bytes, wall seconds).
+
+    Resume: buckets whose manifest entry exists with a matching fingerprint
+    are skipped; only missing buckets are recomputed — all in one Spark job
+    (filter on the bucket column), not one job per bucket.
+    """
+    os.makedirs(_manifest_dir(path), exist_ok=True)
+    fp = fingerprint or f"ndocs={index.n_docs}|analyzer={index.analyzer}|fields={','.join(index.fields)}"
+
+    done: set[int] = set()
+    if resume:
+        for b in range(buckets):
+            entry = _bucket_entry(path, b)
+            if os.path.exists(entry):
+                try:
+                    with open(entry) as f:
+                        rec = json.load(f)
+                    if rec.get("fingerprint") == fp and rec.get("status") == "ok":
+                        done.add(b)
+                except (json.JSONDecodeError, OSError):
+                    pass
+
+    todo = [b for b in range(buckets) if b not in done]
+    result = {"buckets": buckets, "skipped": sorted(done), "written": todo, "fingerprint": fp}
+
+    bucketed = index.postings.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int")
+    )
+    if todo:
+        t0 = time.time()
+        (
+            bucketed.where(F.col("bucket").isin([int(b) for b in todo]))
+            .repartition(max(len(todo), 1), "bucket")
+            .sortWithinPartitions("term", "field", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(path, "postings"))
+        )
+        wall = time.time() - t0
+        for b in todo:
+            bdir = os.path.join(path, "postings", f"bucket={b}")
+            nbytes = sum(
+                os.path.getsize(os.path.join(bdir, f))
+                for f in os.listdir(bdir)
+                if f.endswith(".parquet")
+            ) if os.path.isdir(bdir) else 0
+            rec = {
+                "bucket": b,
+                "fingerprint": fp,
+                "status": "ok",
+                "bytes": nbytes,
+                "wall_sec_total_job": round(wall, 3),
+                "written_at_monotonic": round(t0, 3),
+            }
+            tmp = _bucket_entry(path, b) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(rec, f)
+            os.replace(tmp, _bucket_entry(path, b))
+
+    index.term_stats.write.mode("overwrite").parquet(os.path.join(path, "term_stats"))
+    index.doc_stats.write.mode("overwrite").parquet(os.path.join(path, "doc_stats"))
+    if index.block_stats is not None:
+        index.block_stats.write.mode("overwrite").parquet(os.path.join(path, "block_stats"))
+    index.docs.write.mode("overwrite").parquet(os.path.join(path, "docs"))
+    meta = {
+        "n_docs": index.n_docs,
+        "field_stats": index.field_stats,
+        "analyzer": index.analyzer,
+        "fields": list(index.fields),
+        "buckets": buckets,
+        "fingerprint": fp,
+    }
+    tmp = os.path.join(path, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, os.path.join(path, "meta.json"))
+    return result
+
+
+def read_index(spark: SparkSession, path: str) -> InvertedIndex:
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    postings = spark.read.parquet(os.path.join(path, "postings")).drop("bucket")
+    block_path = os.path.join(path, "block_stats")
+    return InvertedIndex(
+        spark=spark,
+        postings=postings,
+        term_stats=spark.read.parquet(os.path.join(path, "term_stats")),
+        doc_stats=spark.read.parquet(os.path.join(path, "doc_stats")),
+        block_stats=spark.read.parquet(block_path) if os.path.isdir(block_path) else None,
+        docs=spark.read.parquet(os.path.join(path, "docs")),
+        n_docs=meta["n_docs"],
+        field_stats=meta["field_stats"],
+        analyzer=meta["analyzer"],
+        fields=tuple(meta["fields"]),
+    )
+
+
+def assign_doc_ids(docs: DataFrame, ext_id_col: str = "url") -> DataFrame:
+    """Deterministic dense doc ids: row_number over the external id.
+
+    zipWithIndex-style ids depend on partitioning; ordering by the unique
+    external key makes rebuilds reproducible (SURVEY.md §1.4). At 10^12 docs
+    a global sort is expensive but one-time; a monotonically-increasing +
+    re-rank by range partitioning gives the same result and is what this
+    compiles to physically (RangePartitioning + window).
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(ext_id_col))
+    return docs.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)

@@ -1,0 +1,100 @@
+import os
+
+from pyspark.sql import functions as F
+
+from searchengine_spark.codec import decode_positions
+from searchengine_spark.corpus import extract_fields, make_pages
+from searchengine_spark.index import build_index, read_index, write_index
+from searchengine_spark.index.build import assign_doc_ids
+
+
+def _tiny_docs(spark):
+    rows = [
+        (0, "the cat sat on the mat", "cat story"),
+        (1, "a cat and a dog", "animals"),
+        (2, "dogs dogs dogs", "dog dog"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, title string")
+
+
+def test_build_postings_simple(spark):
+    idx = build_index(_tiny_docs(spark), {"body": "text"}, analyzer="simple")
+    rows = {(r.term, r.doc_id): r for r in idx.postings.collect()}
+    assert rows[("cat", 0)].tf == 1
+    assert rows[("the", 0)].tf == 2
+    assert decode_positions(rows[("the", 0)].positions).tolist() == [0, 4]
+    assert rows[("dogs", 2)].tf == 3
+    assert rows[("cat", 0)].doc_len == 6
+    ts = {(r.term): (r.df, r.ctf) for r in idx.term_stats.collect()}
+    assert ts["cat"] == (2, 2)
+    assert ts["dogs"] == (1, 3)
+    assert idx.n_docs == 3
+    assert idx.field_stats["body"]["sum_len"] == 6 + 5 + 3
+
+
+def test_build_english_stopwords_keep_positions(spark):
+    idx = build_index(_tiny_docs(spark), {"body": "text"}, analyzer="english")
+    rows = {(r.term, r.doc_id): r for r in idx.postings.collect()}
+    # 'the' is a stopword → no posting; 'cat' at position 1 (slot preserved)
+    assert ("the", 0) not in rows
+    assert decode_positions(rows[("cat", 0)].positions).tolist() == [1]
+    # doc_len counts stopword slots (Idx.java:97 semantics)
+    assert rows[("cat", 0)].doc_len == 6
+    # stemming: dogs → dog merges docs 1,2
+    assert rows[("dog", 2)].tf == 3
+
+
+def test_multifield_build(spark):
+    idx = build_index(_tiny_docs(spark), {"body": "text", "title": "title"}, analyzer="simple")
+    fields = {r.field for r in idx.postings.select("field").distinct().collect()}
+    assert fields == {"body", "title"}
+    ts = {(r.term, r.field): r.df for r in idx.term_stats.collect()}
+    assert ts[("cat", "title")] == 1
+    assert idx.field_stats["title"]["doc_count"] == 3
+
+
+def test_write_read_resume(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    idx = build_index(_tiny_docs(spark), {"body": "text"}, analyzer="simple")
+    res1 = write_index(idx, path, buckets=4)
+    assert sorted(res1["written"]) == [0, 1, 2, 3]
+    # resume: everything skipped
+    res2 = write_index(idx, path, buckets=4)
+    assert res2["written"] == []
+    assert sorted(res2["skipped"]) == [0, 1, 2, 3]
+    # manifest entries exist and carry lineage
+    assert len(os.listdir(os.path.join(path, "_manifest"))) == 4
+    idx2 = read_index(spark, path)
+    assert idx2.n_docs == 3
+    assert idx2.postings.count() == idx.postings.count()
+    got = idx2.postings.where("term='cat' and doc_id=0").collect()[0]
+    assert decode_positions(got.positions).tolist() == [1]
+
+
+def test_corpus_deterministic_and_invariant(spark):
+    a = make_pages(spark, 120, seed=42, partitions=3).orderBy("url").collect()
+    b = make_pages(spark, 120, seed=42, partitions=7).orderBy("url").collect()
+    # byte-identical text per url across partitionings (per-row invariant)
+    assert [(r.url, r.text) for r in a] == [(r.url, r.text) for r in b]
+    assert all(r.html.decode("utf-8").count("<title>") == 1 for r in a[:5])
+    # near-duplicate marker present ~1%
+    dups = [r for r in a if r.text.endswith("nearduplicate")]
+    assert len(dups) == 1
+
+
+def test_extract_fields_and_doc_ids(spark):
+    pages = make_pages(spark, 50, seed=42)
+    fields = extract_fields(pages)
+    docs = assign_doc_ids(fields, "url")
+    row = docs.where(F.col("doc_id") == 0).collect()[0]
+    assert row.title != "" and row.keywords != ""
+    assert row.url_text.startswith("http site")
+    n_ids = docs.select("doc_id").distinct().count()
+    assert n_ids == 50
+    idx = build_index(
+        docs, {"body": "body", "title": "title", "keywords": "keywords",
+               "url": "url_text", "inlink": "inlink"},
+        ext_id_col="url", analyzer="english",
+    )
+    assert set(idx.field_stats) == {"body", "title", "keywords", "url", "inlink"}
+    assert idx.postings.where("field='url'").count() > 0

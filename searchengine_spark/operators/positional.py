@@ -1,0 +1,136 @@
+"""Positional operators: #NEAR/n, #WINDOW/n, #SYN merge kernels.
+
+The reference evaluates these with per-doc location iterators
+(QryIopNear.java:27-83, QryIopWindow.java:27-77, QryIopSyn.java:17-71).
+Here the docid alignment is a Spark inner join / groupBy (distributed,
+sort-merge); only the *within-document* positional merge runs in
+Python, vectorized over Arrow record batches. Position lists arrive
+varbyte-delta-encoded (codec.py) and leave the same way, so the JVM
+never materializes int arrays.
+
+Semantics replicated exactly (same pointer discipline => same tf):
+
+- NEAR/n: args must appear in order, each consecutive gap
+  ``cur - prev <= n`` with ``cur > prev``; emits the LAST arg's
+  position; on a match every pointer advances by one; on a distance
+  failure only the first arg's pointer advances; if any non-first list
+  exhausts, the document is finished.
+- WINDOW/n: unordered; a match needs ``max - min < n``; emits ``max``
+  and advances all pointers; otherwise every pointer advances past the
+  current minimum location.
+- SYN: union of lists; per-doc positions concatenated and sorted
+  (argument positions assumed disjoint, QryIopSyn.java:53-54).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
+
+from searchengine_spark.codec import decode_positions, encode_positions
+
+MERGE_RESULT = StructType(
+    [
+        StructField("tf", IntegerType()),
+        StructField("positions", BinaryType()),
+    ]
+)
+
+
+def near_merge(arrays: Sequence[np.ndarray], dist: int) -> list[int]:
+    """Greedy ordered-proximity merge (QryIopNear.java:40-76 semantics)."""
+    k = len(arrays)
+    lens = [len(a) for a in arrays]
+    if any(n == 0 for n in lens):
+        return []
+    ptr = [0] * k
+    out: list[int] = []
+    while ptr[0] < lens[0]:
+        found = True
+        for i in range(1, k):
+            prev_loc = arrays[i - 1][ptr[i - 1]]
+            a = arrays[i]
+            j = ptr[i]
+            while j < lens[i] and a[j] <= prev_loc:
+                j += 1
+            ptr[i] = j
+            if j >= lens[i]:
+                return out  # first arg's iterator "finished" -> doc done
+            if a[j] - prev_loc > dist:
+                ptr[0] += 1
+                found = False
+                break
+        if found:
+            out.append(int(arrays[k - 1][ptr[k - 1]]))
+            for i in range(k):
+                ptr[i] += 1
+    return out
+
+
+def window_merge(arrays: Sequence[np.ndarray], dist: int) -> list[int]:
+    """Unordered min/max sliding merge (QryIopWindow.java:40-70 semantics)."""
+    k = len(arrays)
+    lens = [len(a) for a in arrays]
+    ptr = [0] * k
+    out: list[int] = []
+    while True:
+        locs = []
+        for i in range(k):
+            if ptr[i] >= lens[i]:
+                return out
+            locs.append(arrays[i][ptr[i]])
+        mn, mx = min(locs), max(locs)
+        if mx - mn < dist:
+            out.append(int(mx))
+            for i in range(k):
+                ptr[i] += 1
+        else:
+            for i in range(k):
+                a = arrays[i]
+                j = ptr[i]
+                while j < lens[i] and a[j] <= mn:
+                    j += 1
+                ptr[i] = j
+
+
+def positional_merge_udf(kind: str, dist: int, n_args: int):
+    """pandas UDF: n binary position columns -> struct<tf, positions>.
+
+    Rows where the merge produces no positions yield tf=0 (callers
+    filter ``tf > 0`` — the reference only appends non-empty postings).
+    """
+    merge = near_merge if kind == "near" else window_merge
+
+    @F.pandas_udf(MERGE_RESULT)
+    def _merge(*cols: pd.Series) -> pd.DataFrame:
+        n = len(cols[0])
+        tfs = np.zeros(n, dtype=np.int32)
+        blobs: list[bytes | None] = [None] * n
+        decoded = [[decode_positions(b) for b in c] for c in cols]
+        for r in range(n):
+            arrays = [decoded[c][r] for c in range(n_args)]
+            pos = merge(arrays, dist)
+            if pos:
+                tfs[r] = len(pos)
+                blobs[r] = encode_positions(pos)
+        return pd.DataFrame({"tf": tfs, "positions": blobs})
+
+    return _merge
+
+
+@F.pandas_udf(BinaryType())
+def syn_union_positions(pos_lists: pd.Series) -> pd.Series:
+    """Concatenate+sort a list of encoded position lists (QryIopSyn.java:60-68)."""
+
+    def _merge(blobs):
+        arrays = [decode_positions(b) for b in blobs if b is not None]
+        if not arrays:
+            return b""
+        merged = np.sort(np.concatenate(arrays))
+        return encode_positions(merged)
+
+    return pos_lists.map(_merge)

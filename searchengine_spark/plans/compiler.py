@@ -1,0 +1,426 @@
+"""Query AST -> DataFrame plan compiler.
+
+The reference evaluates query trees document-at-a-time with iterator
+merges (Qry.java:16-41, QryEval.java:133-138). Here each AST node
+compiles to a declarative DataFrame subplan and Catalyst/Tungsten pick
+the physical strategy:
+
+- Iop nodes -> positional-postings frames
+  ``(doc_id, tf, doc_len, positions)``; a TERM is a pushed-down filter
+  on the postings table (partition-prunable by term bucket), NEAR /
+  WINDOW are doc_id inner joins + Arrow positional-merge UDFs, SYN is
+  a union + groupBy.
+- Sop nodes -> score frames ``(doc_id, score)``. Match-ALL combiners
+  (Boolean #AND, #WAND/#WSUM outside Indri — Qry.java:255-302) become
+  k-way **inner joins** on doc_id; match-MIN combiners (#OR, #SUM,
+  all Indri ops — Qry.java:332-355) become k-way **full-outer joins**.
+  Joins and score expressions are built strictly in argument order so
+  floating-point results are reproducible and bit-comparable with the
+  ANSI-SQL oracle.
+
+Indri's default-score semantics (QrySopScore.getDefaultScore — a doc
+that misses an argument still contributes a smoothed score that
+depends on that argument's ctf and the doc's field length) are
+implemented as coalesce-to-computed-default columns over the
+full-outer join; every compiled node carries a ``default_fn`` that
+builds its default-score expression from per-field doc-length columns.
+
+Corpus scalars (N, avg/sum field length) and per-term df/ctf are
+resolved driver-side — one small filtered collect on ``term_stats``
+per query (the reference does the same per-term index lookups,
+Idx.java:74-77) — and embedded as literals, keeping the scoring
+expressions inside whole-stage codegen. Derived operators (NEAR/...)
+need their df/ctf computed from the merged list, exactly like the
+reference's materialize-then-score discipline (QryIop.java:174-190):
+that costs one small Spark action on the (persisted) derived frame,
+only when the model actually uses those stats.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from searchengine_spark.index.build import InvertedIndex
+from searchengine_spark.operators.positional import (
+    positional_merge_udf,
+    syn_union_positions,
+)
+from searchengine_spark.plans.ast import IopNode, SopNode, TermNode, is_iop
+from searchengine_spark.plans.models import BM25, Indri, RankedBoolean, UnrankedBoolean
+
+
+@dataclass
+class IopResult:
+    """Compiled positional operator: frame (doc_id, tf, doc_len, positions)."""
+
+    frame: DataFrame
+    field: str
+    _stats: tuple | None = None  # (df, ctf)
+    _persisted: bool = False
+
+    def stats(self) -> tuple[int, int]:
+        if self._stats is None:
+            if not self._persisted:
+                self.frame = self.frame.persist()
+                self._persisted = True
+            row = self.frame.agg(
+                F.count(F.lit(1)).alias("df"), F.sum("tf").alias("ctf")
+            ).first()
+            self._stats = (int(row["df"] or 0), int(row["ctf"] or 0))
+        return self._stats
+
+
+@dataclass
+class ScoreResult:
+    """Compiled score operator.
+
+    ``frame`` holds doc_id, score and (Indri only) ``__dl_<field>``
+    doc-length columns for every field under this subtree.
+    ``default_fn(dlmap)`` builds the node's default-score Column from
+    a {field: doc_len Column} map (Indri only).
+    """
+
+    frame: DataFrame
+    fields: frozenset
+    default_fn: object | None = None
+
+
+def _dl(f: str) -> str:
+    return f"__dl_{f}"
+
+
+class Compiler:
+    def __init__(self, index: InvertedIndex, model):
+        self.index = index
+        self.model = model
+        self.term_stats: dict[tuple[str, str], tuple[int, int]] = {}
+
+    # ------------------------------------------------------------------
+    # stats prefetch: ONE small filtered collect for all terms in a query
+    # ------------------------------------------------------------------
+
+    def _collect_terms(self, node, out):
+        if isinstance(node, TermNode):
+            out.add((node.term, node.field))
+        elif node is not None:
+            for a in node.args:
+                self._collect_terms(a, out)
+
+    def prefetch_term_stats(self, node) -> None:
+        wanted = set()
+        self._collect_terms(node, wanted)
+        missing = [tf for tf in wanted if tf not in self.term_stats]
+        if not missing:
+            return
+        keys = [f"{t}\x00{f}" for t, f in missing]
+        rows = (
+            self.index.term_stats.where(
+                F.concat_ws("\x00", F.col("term"), F.col("field")).isin(keys)
+            )
+            .select("term", "field", "df", "ctf")
+            .collect()
+        )
+        found = {(r["term"], r["field"]): (int(r["df"]), int(r["ctf"])) for r in rows}
+        for tf in missing:
+            self.term_stats[tf] = found.get(tf, (0, 0))
+
+    # ------------------------------------------------------------------
+    # Iop compilation
+    # ------------------------------------------------------------------
+
+    def compile_iop(self, node) -> IopResult:
+        if isinstance(node, TermNode):
+            fr = self.index.postings.where(
+                (F.col("term") == node.term) & (F.col("field") == node.field)
+            ).select("doc_id", "tf", "doc_len", "positions")
+            st = self.term_stats.get((node.term, node.field))
+            return IopResult(fr, node.field, _stats=st)
+
+        children = [self.compile_iop(a) for a in node.args]
+        if node.op == "syn":
+            u = children[0].frame
+            for c in children[1:]:
+                u = u.unionByName(c.frame)
+            fr = (
+                u.groupBy("doc_id")
+                .agg(
+                    F.sum("tf").cast("int").alias("tf"),
+                    F.max("doc_len").alias("doc_len"),
+                    syn_union_positions(F.collect_list("positions")).alias("positions"),
+                )
+                .select("doc_id", "tf", "doc_len", "positions")
+            )
+            return IopResult(fr, node.field)
+
+        # near / window: k-way inner join on doc_id + positional merge
+        k = len(children)
+        joined = children[0].frame.select(
+            "doc_id", "doc_len", F.col("positions").alias("__p0")
+        )
+        for i, c in enumerate(children[1:], start=1):
+            joined = joined.join(
+                c.frame.select("doc_id", F.col("positions").alias(f"__p{i}")),
+                on="doc_id",
+                how="inner",
+            )
+        merge = positional_merge_udf(node.op, node.dist, k)
+        fr = (
+            joined.withColumn("__m", merge(*[F.col(f"__p{i}") for i in range(k)]))
+            .where(F.col("__m.tf") > 0)
+            .select(
+                "doc_id",
+                F.col("__m.tf").alias("tf"),
+                "doc_len",
+                F.col("__m.positions").alias("positions"),
+            )
+        )
+        return IopResult(fr, node.field)
+
+    # ------------------------------------------------------------------
+    # Sop compilation
+    # ------------------------------------------------------------------
+
+    def compile(self, node) -> DataFrame:
+        """Top-level: AST -> frame (doc_id long, score double)."""
+        if node is None:
+            return self.index.spark.createDataFrame([], "doc_id long, score double")
+        if is_iop(node):
+            node = SopNode("score", (node,))
+        self.prefetch_term_stats(node)
+        res = self.compile_sop(node)
+        return res.frame.select("doc_id", "score")
+
+    def compile_sop(self, node: SopNode) -> ScoreResult:
+        m = self.model
+        if node.op == "score":
+            return self._leaf(node)
+
+        children = [self.compile_sop(a) for a in node.args]
+        k = len(children)
+        indri = isinstance(m, Indri)
+
+        # Match strategy (QrySop*.docIteratorHasMatch):
+        # OR and SUM are match-MIN; AND/WAND/WSUM are match-MIN under
+        # Indri, match-ALL otherwise.
+        if node.op in ("or", "sum") or indri:
+            how = "full_outer"
+        else:
+            how = "inner"
+
+        def _child_cols(c, i):
+            cols = [F.col("doc_id"), F.col("score").alias(f"__s{i}")]
+            if indri:  # dl columns only ride along under Indri (defaults)
+                cols += [F.col(_dl(f)).alias(f"{_dl(f)}_{i}") for f in sorted(c.fields)]
+            return cols
+
+        joined = children[0].frame.select(*_child_cols(children[0], 0))
+        for i, c in enumerate(children[1:], start=1):
+            joined = joined.join(
+                c.frame.select(*_child_cols(c, i)), on="doc_id", how=how
+            )
+
+        all_fields = frozenset().union(*[c.fields for c in children])
+        dlmap: dict[str, Column] = {}
+        if indri:
+            # Reassemble one doc-length column per field. With a single
+            # field, every surviving doc matched >=1 child, so coalesce
+            # across children is total; with mixed fields a doc may have
+            # matched no child of some field -> fall back to doc_stats.
+            multi = len(all_fields) > 1
+            for f in sorted(all_fields):
+                cands = [
+                    F.col(f"{_dl(f)}_{i}")
+                    for i, c in enumerate(children)
+                    if f in c.fields
+                ]
+                if multi:
+                    ds = (
+                        self.index.doc_stats.where(F.col("field") == f)
+                        .select("doc_id", F.col("doc_len").alias(f"__ds_{f}"))
+                    )
+                    joined = joined.join(ds, on="doc_id", how="left")
+                    cands = cands + [F.col(f"__ds_{f}"), F.lit(0)]
+                dlmap[f] = F.coalesce(*cands) if len(cands) > 1 else cands[0]
+
+        score, default_fn = self._combine(node, children, dlmap)
+        out_cols = [F.col("doc_id"), score.cast("double").alias("score")]
+        if indri:
+            for f in sorted(all_fields):
+                out_cols.append(dlmap[f].alias(_dl(f)))
+        return ScoreResult(joined.select(*out_cols), all_fields, default_fn)
+
+    # -- score expressions ---------------------------------------------
+
+    def _combine(self, node, children, dlmap):
+        """Score Column + default_fn for a non-leaf Sop (arg order preserved)."""
+        m = self.model
+        k = len(children)
+        op = node.op
+        s = [F.col(f"__s{i}") for i in range(k)]
+
+        if isinstance(m, UnrankedBoolean):
+            if op in ("and", "or", "wand", "wsum"):
+                return F.lit(1.0), None
+            raise ValueError(f"#{op} unsupported under UnrankedBoolean")
+
+        if isinstance(m, RankedBoolean):
+            # AND/WAND/WSUM: min over args (QrySopAnd.java:61-71,
+            # QrySopWAnd.java:72-81, QrySopWSum.java:73-82); OR: max over
+            # matching args (QrySopOr.java:61-73).
+            if op in ("and", "wand", "wsum"):
+                return F.least(*s) if k > 1 else s[0], None
+            if op == "or":
+                cs = [F.coalesce(x, F.lit(0.0)) for x in s]
+                return F.greatest(*cs) if k > 1 else cs[0], None
+            raise ValueError(f"#{op} unsupported under RankedBoolean")
+
+        if isinstance(m, BM25):
+            # SUM: sum over matching args (QrySopSum.java:44-52).
+            # WSUM under BM25 ignores weights and sums matching args,
+            # with match-ALL (QrySopWSum.java:116-127) — replicated quirk.
+            if op == "sum":
+                expr = F.coalesce(s[0], F.lit(0.0))
+                for x in s[1:]:
+                    expr = expr + F.coalesce(x, F.lit(0.0))
+                return expr, None
+            if op == "wsum":
+                expr = s[0]
+                for x in s[1:]:
+                    expr = expr + x
+                return expr, None
+            raise ValueError(f"#{op} unsupported under BM25 (reference throws too)")
+
+        if isinstance(m, Indri):
+            weights = list(node.weights) if node.weights else [1.0] * k
+            total = sum(weights)
+            eff = [
+                F.coalesce(s[i], children[i].default_fn(dlmap)) for i in range(k)
+            ]
+
+            def _dfn_factory():
+                if op == "and":
+                    def dfn(dl):
+                        prod = children[0].default_fn(dl)
+                        for c in children[1:]:
+                            prod = prod * c.default_fn(dl)
+                        return F.pow(prod, F.lit(1.0 / k))
+                    return dfn
+                if op == "or":
+                    def dfn(dl):
+                        prod = F.lit(1.0) - children[0].default_fn(dl)
+                        for c in children[1:]:
+                            prod = prod * (F.lit(1.0) - c.default_fn(dl))
+                        return prod
+                    return dfn
+                if op == "wand":
+                    def dfn(dl):
+                        prod = F.pow(children[0].default_fn(dl), F.lit(weights[0] / total))
+                        for i, c in enumerate(children[1:], start=1):
+                            prod = prod * F.pow(c.default_fn(dl), F.lit(weights[i] / total))
+                        return prod
+                    return dfn
+                if op == "wsum":
+                    def dfn(dl):
+                        acc = children[0].default_fn(dl) * F.lit(weights[0]) / F.lit(total)
+                        for i, c in enumerate(children[1:], start=1):
+                            acc = acc + c.default_fn(dl) * F.lit(weights[i]) / F.lit(total)
+                        return acc
+                    return dfn
+                return None
+
+            if op == "and":
+                # geometric mean w/ defaults (QrySopAnd.java:73-91)
+                prod = eff[0]
+                for x in eff[1:]:
+                    prod = prod * x
+                return F.pow(prod, F.lit(1.0 / k)), _dfn_factory()
+            if op == "or":
+                # as-implemented reference quirk: returns prod(1 - s_i)
+                # WITHOUT the final complement (QrySopOr.java:75-87)
+                prod = F.lit(1.0) - eff[0]
+                for x in eff[1:]:
+                    prod = prod * (F.lit(1.0) - x)
+                return prod, _dfn_factory()
+            if op == "wand":
+                # weighted geometric mean (QrySopWAnd.java:82-98)
+                prod = F.pow(eff[0], F.lit(weights[0] / total))
+                for i in range(1, k):
+                    prod = prod * F.pow(eff[i], F.lit(weights[i] / total))
+                return prod, _dfn_factory()
+            if op == "wsum":
+                # weighted arithmetic mean (QrySopWSum.java:83-100);
+                # expression shape (s*w)/total matches the reference's
+                # evaluation order for float reproducibility
+                acc = eff[0] * F.lit(weights[0]) / F.lit(total)
+                for i in range(1, k):
+                    acc = acc + eff[i] * F.lit(weights[i]) / F.lit(total)
+                return acc, _dfn_factory()
+            raise ValueError(f"#{op} unsupported under Indri (reference throws too)")
+
+        raise ValueError(f"unknown model {m!r}")
+
+    # -- leaf (#SCORE) ----------------------------------------------------
+
+    def _leaf(self, node: SopNode) -> ScoreResult:
+        m = self.model
+        iop = self.compile_iop(node.args[0])
+        f = iop.field
+        fr = iop.frame
+
+        if isinstance(m, UnrankedBoolean):
+            out = fr.select("doc_id", F.lit(1.0).alias("score"))
+            return ScoreResult(out, frozenset([f]))
+
+        if isinstance(m, RankedBoolean):
+            # score = tf (QrySopScore.getScoreRankedBoolean)
+            out = fr.select("doc_id", F.col("tf").cast("double").alias("score"))
+            return ScoreResult(out, frozenset([f]))
+
+        if isinstance(m, BM25):
+            # max(0, ln((N-df+.5)/(df+.5))) * tf/(tf+k1*(1-b+b*len/avglen))
+            # (QrySopScore.java:114-133; k3 read but unused)
+            df, _ctf = iop.stats()
+            n = float(self.index.n_docs)
+            avg = self.index.avg_len(f)
+            idf = max(0.0, math.log((n - df + 0.5) / (df + 0.5))) if avg > 0 else 0.0
+            tf = F.col("tf").cast("double")
+            denom = tf + F.lit(m.k1) * (
+                F.lit(1.0 - m.b) + F.lit(m.b) * F.col("doc_len") / F.lit(avg)
+            )
+            out = fr.select("doc_id", (F.lit(idf) * tf / denom).alias("score"))
+            return ScoreResult(out, frozenset([f]))
+
+        if isinstance(m, Indri):
+            # (1-λ)(tf+μp)/(len+μ) + λp, p = ctf/collen
+            # (QrySopScore.getScoreIndri); default: tf=0, ctf<1 -> 0.5
+            # (getDefaultScore)
+            _df, ctf = iop.stats()
+            collen = float(self.index.sum_len(f))
+            p = (ctf / collen) if collen > 0 else 0.0
+            ctf_def = float(ctf) if ctf >= 1.0 else 0.5
+            p_def = (ctf_def / collen) if collen > 0 else 0.0
+            tf = F.col("tf").cast("double")
+            dl = F.col("doc_len").cast("double")
+            score = (
+                F.lit(1.0 - m.lam) * (tf + F.lit(m.mu) * F.lit(p)) / (dl + F.lit(m.mu))
+                + F.lit(m.lam) * F.lit(p)
+            )
+            out = fr.select(
+                "doc_id", score.alias("score"), F.col("doc_len").alias(_dl(f))
+            )
+
+            def default_fn(dlmap, _mu=m.mu, _lam=m.lam, _p=p_def):
+                dlc = dlmap[f].cast("double")
+                return (
+                    F.lit(1.0 - _lam)
+                    * (F.lit(0.0) + F.lit(_mu) * F.lit(_p))
+                    / (dlc + F.lit(_mu))
+                    + F.lit(_lam) * F.lit(_p)
+                )
+
+            return ScoreResult(out, frozenset([f]), default_fn)
+
+        raise ValueError(f"unknown model {m!r}")

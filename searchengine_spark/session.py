@@ -23,6 +23,16 @@ def get_spark(
     ``shuffle_partitions`` defaults to 2x cores locally; on a real cluster
     leave it to AQE coalescing.
     """
+    # Make the package importable inside executor Python workers no matter
+    # where the driver was launched from (local-mode equivalent of
+    # ``spark-submit --py-files searchengine_spark.zip``).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pythonpath = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pythonpath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + pythonpath if pythonpath else "")
+        )
+
     if cores is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{env}]" if env else "local[*]"

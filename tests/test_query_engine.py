@@ -1,0 +1,112 @@
+"""Golden tests: Spark engine vs the trusted in-memory oracle.
+
+Every (model, query) pair the reference supports is evaluated both
+ways on the same 300-page corpus; doc->score maps must agree to 1e-9
+relative and the Spark output must honor the reference tie-break.
+"""
+
+import pytest
+
+from searchengine_spark.engine import SearchEngine
+from searchengine_spark.plans.models import BM25, Indri, RankedBoolean, UnrankedBoolean
+from tests import oracle as orc
+
+BOOL_QUERIES = [
+    "barim batok",
+    "#or(barim batok)",
+    "#and(barim cerim)",
+    "#syn(barim batok)",
+    "#near/1(barim batok)",
+    "#near/5(barim batok balan)",
+    "#window/8(barim batok)",
+    "#and(#or(barim batok) cerim)",
+    "#wand(0.7 barim 0.3 batok)",
+    "#wsum(0.4 barim.title 0.6 barim)",
+    "barim-batok",
+    "barim.title",
+    "barim.url",
+    "#near/1(of the)",
+]
+BM25_QUERIES = [
+    "barim batok",
+    "barim batok balan cerim",
+    "#sum(barim batok)",
+    "#syn(barim batok)",
+    "#near/1(barim batok)",
+    "#near/5(barim batok balan)",
+    "#window/8(barim batok)",
+    "#wsum(0.4 barim.title 0.6 barim)",  # BM25 WSUM ignores weights (quirk)
+    "barim.title",
+    "#near/1(of the)",
+]
+INDRI_QUERIES = BOOL_QUERIES
+
+CASES = (
+    [(UnrankedBoolean(), q) for q in BOOL_QUERIES]
+    + [(RankedBoolean(), q) for q in BOOL_QUERIES]
+    + [(BM25(), q) for q in BM25_QUERIES]
+    + [(Indri(), q) for q in INDRI_QUERIES]
+    + [(Indri(mu=1500.0, lam=0.01), q) for q in ["barim batok", "#wand(0.7 barim 0.3 batok)"]]
+    + [(BM25(k1=2.0, b=0.3), q) for q in ["barim batok balan"]]
+)
+
+
+def _ids():
+    return [f"{m.name}-{q}" for m, q in CASES]
+
+
+@pytest.mark.parametrize("model,query", CASES, ids=_ids())
+def test_engine_matches_oracle(pages_index, py_index, model, query):
+    eng = SearchEngine(pages_index)
+    ast = eng.parse(query, model)
+    expected = dict(orc.search(py_index, ast, model, k=10**9))
+
+    got_rows = eng.scores(query, model=model).collect()
+    got = {int(r["doc_id"]): float(r["score"]) for r in got_rows}
+
+    assert set(got) == set(expected), (
+        f"doc sets differ: only_spark={sorted(set(got)-set(expected))[:5]} "
+        f"only_oracle={sorted(set(expected)-set(got))[:5]}"
+    )
+    for d, s in expected.items():
+        assert got[d] == pytest.approx(s, rel=1e-9, abs=1e-12), f"doc {d}"
+
+
+
+def test_metamorphic_near_window_and(pages_index, py_index):
+    """#near/1(a b) ⊆ #window/8(a b) ⊆ boolean-AND matches (SURVEY.md §5)."""
+    eng = SearchEngine(pages_index)
+    m = UnrankedBoolean()
+
+    def docs(q):
+        return {int(r["doc_id"]) for r in eng.scores(q, model=m).collect()}
+
+    near = docs("#near/1(barim batok)")
+    window = docs("#window/8(barim batok)")
+    both = docs("#and(barim batok)")
+    assert near <= window <= both
+    assert both  # corpus is big enough that the chain is non-trivial
+
+
+def test_ext_id_attach_and_rank(pages_index):
+    eng = SearchEngine(pages_index)
+    rows = eng.search("barim batok", model=BM25(), k=10).collect()
+    assert len(rows) == 10
+    assert [r["rank"] for r in rows] == list(range(1, 11))
+    assert all(r["ext_id"].startswith("http://") for r in rows)
+    # reference tie-break: (score desc, doc_id asc)
+    keys = [(-float(r["score"]), int(r["doc_id"])) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_run_batch_multiple_queries(pages_index):
+    eng = SearchEngine(pages_index)
+    out = eng.run_batch(
+        [("q1", "barim batok"), ("q2", "#near/1(of the)"), ("q3", "cerim")],
+        model=BM25(),
+        k=5,
+    ).collect()
+    qids = {r["qid"] for r in out}
+    assert qids == {"q1", "q3"}  # q2 is degenerate -> skipped
+    per = {q: [r for r in out if r["qid"] == q] for q in qids}
+    assert all(len(v) <= 5 for v in per.values())

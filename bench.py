@@ -1,0 +1,132 @@
+"""Benchmark harness (driver contract).
+
+Measures, at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``:
+
+- index build throughput (docs/sec) over a synthetic Common-Crawl-style
+  page corpus sized ~proportionally to the sf directory, PLUS the sf
+  documents table;
+- per-query latency for the headline structured queries (BM25 / Indri /
+  Boolean / positional) against the documents index;
+- pipeline operator runtimes (minhash LSH dedup, simhash, ANN top-k).
+
+Prints ONE JSON line: {"metric": ..., "value": ..., "unit": "sec",
+"queries": {...}, "sf": ...}. ``value`` is the total wall time of the
+headline suite (lower is better); per-query seconds in "queries".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from searchengine_spark.session import get_spark  # noqa: E402
+
+
+def _time(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = get_spark("searchengine-bench", cores=cpus, shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pyspark.sql import functions as F
+
+    from searchengine_spark import gate
+    from searchengine_spark.corpus import extract_fields, make_pages
+    from searchengine_spark.engine import SearchEngine
+    from searchengine_spark.index.build import assign_doc_ids, build_index
+    from searchengine_spark.pipeline import dedup, similarity
+
+    queries: dict[str, float] = {}
+
+    # --- index-build throughput on the synthetic web corpus -----------------
+    n_pages = max(2000, int(float(sf) * 400_000))  # sf0.1 -> 40k pages
+    pages = make_pages(spark, n_pages, seed=42).persist()
+    pages.count()  # isolate generation from indexing time
+
+    t0 = time.time()
+    docs = assign_doc_ids(extract_fields(pages), ext_id_col="url")
+    idx_pages = build_index(
+        docs, fields={"body": "body", "title": "title"}, ext_id_col="url",
+        analyzer="english", with_blocks=True, cache=True,
+    )
+    n_post = idx_pages.postings.count()  # materializes the full build
+    build_sec = time.time() - t0
+    queries["index_build"] = round(build_sec, 3)
+    docs_per_sec = n_pages / build_sec
+
+    # --- documents-table engine: headline structured queries ---------------
+    eng_t0 = time.time()
+    eng = gate.engine_for(spark, sf_dir)
+    eng.index.postings.count()
+    queries["index_build_documents"] = round(time.time() - eng_t0, 3)
+
+    headline = {
+        "q_bm25_sum": lambda: eng.search("dup spark merge", model="bm25", k=10, with_ext_id=False).collect(),
+        "q_bm25_long": lambda: eng.search("dup spark merge join filter window batch", model="bm25", k=10, with_ext_id=False).collect(),
+        "q_indri_and": lambda: eng.search("#and(dup spark)", model="indri", k=10, with_ext_id=False, mu=1500.0, lam=0.3).collect(),
+        "q_indri_wand": lambda: eng.search("#wand(0.7 dup 0.3 spark)", model="indri", k=10, with_ext_id=False, mu=1500.0, lam=0.3).collect(),
+        "q_bool_and": lambda: eng.search("#and(spark merge)", model="rankedboolean", k=10, with_ext_id=False).collect(),
+        "q_near": lambda: eng.search("#near/2(spark merge)", model="rankedboolean", k=10, with_ext_id=False).collect(),
+        "q_window": lambda: eng.search("#window/4(spark merge)", model="rankedboolean", k=10, with_ext_id=False).collect(),
+        "q_syn": lambda: eng.search("#syn(spark merge)", model="rankedboolean", k=10, with_ext_id=False).collect(),
+    }
+    lat: list[float] = []
+    for name, fn in headline.items():
+        sec = _time(fn)
+        queries[name] = round(sec, 3)
+        lat.append(sec)
+
+    # --- pipeline operators -------------------------------------------------
+    ddf = gate.docs_df(spark, sf_dir)
+    edf = gate.emb_df(spark, sf_dir)
+    queries["p_minhash_lsh"] = round(
+        _time(lambda: dedup.minhash_lsh_pairs(ddf, threshold=0.8).collect()), 3
+    )
+    queries["p_simhash"] = round(
+        _time(lambda: dedup.simhash_values(ddf).count()), 3
+    )
+    queries["p_ann_topk"] = round(
+        _time(lambda: similarity.cosine_topk(edf, [0, 1, 2], k=10).collect()), 3
+    )
+    queries["p_token_stats"] = round(
+        _time(lambda: __import__("searchengine_spark.pipeline.textstats", fromlist=["token_stats"]).token_stats(ddf).count()), 3
+    )
+
+    lat_sorted = sorted(lat)
+    p95 = lat_sorted[min(len(lat_sorted) - 1, int(0.95 * len(lat_sorted)))]
+    total = round(sum(queries.values()), 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall seconds (build + queries + pipeline)",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf),
+                "docs_indexed_per_sec": round(docs_per_sec, 1),
+                "n_pages_indexed": n_pages,
+                "n_postings": int(n_post),
+                "p95_query_latency_sec": round(p95, 3),
+                "cpus": cpus,
+            }
+        )
+    )
+    _ = F  # quiet linters
+
+
+if __name__ == "__main__":
+    main()

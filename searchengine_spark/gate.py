@@ -1,0 +1,621 @@
+"""Driver correctness-gate queries + ANSI-SQL oracles.
+
+Each entry pairs a Spark implementation (through the real engine /
+pipeline operators) with an equivalent DuckDB SQL string over the same
+parquet tables. Both sides:
+
+- tokenize identically (``regexp_extract_all(lower(text), '[a-z0-9]+')``
+  == analyzer 'simple'),
+- build float expressions in the SAME operand order (the compiler joins
+  score frames in argument order precisely so sums/products associate
+  identically),
+- round exposed scores to 6 digits and rank on the ROUNDED value with
+  doc_id tie-break, so last-ulp libm differences between JVM and DuckDB
+  cannot flip an ordering or a hash.
+
+Queries where the reference semantics aren't SQL-expressible (greedy
+positional tf) are exposed as doc-set checks (UnrankedBoolean): the
+greedy NEAR/WINDOW merges match a document iff an ordered chain /
+window combination exists, which IS expressible as a positional
+self-join (proof sketch in operators/positional.py docstring).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from searchengine_spark.engine import SearchEngine
+from searchengine_spark.index.build import build_index
+from searchengine_spark.pipeline import dedup, similarity, textstats
+from searchengine_spark.plans.models import BM25, Indri, RankedBoolean, UnrankedBoolean
+
+# ---------------------------------------------------------------------------
+# cached engines per sf_dir
+# ---------------------------------------------------------------------------
+
+_ENGINES: dict[str, SearchEngine] = {}
+
+
+def docs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def emb_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def engine_for(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    eng = _ENGINES.get(sf_dir)
+    if eng is None:
+        idx = build_index(
+            docs_df(spark, sf_dir),
+            fields={"body": "text"},
+            doc_id_col="doc_id",
+            ext_id_col="doc_id",
+            analyzer="simple",
+        )
+        eng = SearchEngine(idx, fields=("body",))
+        _ENGINES[sf_dir] = eng
+    return eng
+
+
+def _ranked(scores: DataFrame, k: int) -> DataFrame:
+    """Round-then-rank with doc_id tie-break (cross-engine determinism)."""
+    s = scores.select("doc_id", F.round("score", 6).alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return s.withColumn("rank", F.row_number().over(w).cast("int")).where(
+        F.col("rank") <= k
+    )
+
+
+def _docset(scores: DataFrame) -> DataFrame:
+    return scores.select("doc_id", F.round("score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# SQL oracle builders
+# ---------------------------------------------------------------------------
+
+TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+BASE_CTES = f"""
+tok AS (SELECT doc_id, {TOK} AS toks FROM documents),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS doc_len FROM tok),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+              CAST(sum(doc_len) AS DOUBLE) AS sum_len,
+              CAST(sum(CASE WHEN doc_len > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS doc_count
+       FROM dl),
+pos AS (SELECT doc_id, t, CAST(i - 1 AS BIGINT) AS p
+        FROM (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS i FROM tok))
+"""
+
+
+def _tf_cte(terms: list[str]) -> str:
+    lst = ", ".join(f"'{t}'" for t in terms)
+    return (
+        "tf AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf "
+        "FROM (SELECT doc_id, unnest(toks) AS t FROM tok) "
+        f"WHERE t IN ({lst}) GROUP BY doc_id, t)"
+    )
+
+
+def _pivot_tf(terms: list[str]) -> str:
+    cols = ", ".join(
+        f"max(CASE WHEN term = '{t}' THEN tf END) AS tf{i}" for i, t in enumerate(terms)
+    )
+    return f"pv AS (SELECT doc_id, {cols} FROM tf GROUP BY doc_id)"
+
+
+def _rank_wrap(inner: str, k: int) -> str:
+    return (
+        f"SELECT doc_id, score, rank FROM ("
+        f"SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank "
+        f"FROM ({inner}) __f) __r WHERE rank <= {k} ORDER BY rank"
+    )
+
+
+def bm25_sum_sql(terms: list[str], k: int, k1: float = 1.2, b: float = 0.75) -> str:
+    scs = []
+    for i, t in enumerate(terms):
+        scs.append(
+            f"(SELECT greatest(0.0, ln((st.n_docs - d.df + 0.5) / (d.df + 0.5))) "
+            f"* pv.tf{i} / (pv.tf{i} + {k1!r} * ({1.0 - b!r} + {b!r} * dl.doc_len / (st.sum_len / st.doc_count))) "
+            f"FROM (SELECT CAST(count(*) AS DOUBLE) AS df FROM tf WHERE term = '{t}') d) AS s{i}"
+        )
+    sums = " + ".join(f"COALESCE(s{i}, 0.0)" for i in range(len(terms)))
+    inner = f"""
+WITH {BASE_CTES}, {_tf_cte(terms)}, {_pivot_tf(terms)},
+sc AS (SELECT pv.doc_id, {', '.join(scs)}
+       FROM pv JOIN dl USING (doc_id) CROSS JOIN st)
+SELECT doc_id, CAST(round({sums}, 6) AS DOUBLE) AS score FROM sc
+"""
+    return _rank_wrap(inner, k)
+
+
+def _indri_effs(terms: list[str], mu: float, lam: float) -> tuple[str, str]:
+    """CTEs + per-term effective-score column names e0..e{k-1}."""
+    ctf_cols = ", ".join(
+        f"(SELECT CASE WHEN CAST(COALESCE(sum(tf), 0) AS DOUBLE) < 1.0 THEN 0.5 "
+        f"ELSE CAST(sum(tf) AS DOUBLE) END FROM tf WHERE term = '{t}') AS ctfdef{i}, "
+        f"(SELECT CAST(COALESCE(sum(tf), 0) AS DOUBLE) FROM tf WHERE term = '{t}') AS ctf{i}"
+        for i, t in enumerate(terms)
+    )
+    effs = []
+    for i in range(len(terms)):
+        p = f"(ct.ctf{i} / st.sum_len)"
+        p_def = f"(ct.ctfdef{i} / st.sum_len)"
+        effs.append(
+            f"CASE WHEN pv.tf{i} IS NOT NULL THEN "
+            f"{1.0 - lam!r} * (pv.tf{i} + {mu!r} * {p}) / (dl.doc_len + {mu!r}) + {lam!r} * {p} "
+            f"ELSE {1.0 - lam!r} * (0.0 + {mu!r} * {p_def}) / (dl.doc_len + {mu!r}) + {lam!r} * {p_def} END AS e{i}"
+        )
+    ctes = (
+        f"ct AS (SELECT {ctf_cols}), "
+        f"ef AS (SELECT pv.doc_id, {', '.join(effs)} "
+        f"FROM pv JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN ct)"
+    )
+    return ctes, ",".join(f"e{i}" for i in range(len(terms)))
+
+
+def indri_sql(terms: list[str], op: str, k: int, mu: float, lam: float,
+              weights: list[float] | None = None) -> str:
+    kk = len(terms)
+    eff_ctes, _ = _indri_effs(terms, mu, lam)
+    if op == "and":
+        prod = " * ".join(f"e{i}" for i in range(kk))
+        score = f"pow({prod}, {1.0 / kk!r})"
+    elif op == "or":
+        prod = " * ".join(f"(1.0 - e{i})" for i in range(kk))
+        score = prod
+    elif op == "wand":
+        total = sum(weights)
+        score = " * ".join(f"pow(e{i}, {w / total!r})" for i, w in enumerate(weights))
+    elif op == "wsum":
+        total = sum(weights)
+        score = " + ".join(f"e{i} * {w!r} / {total!r}" for i, w in enumerate(weights))
+    else:
+        raise ValueError(op)
+    inner = f"""
+WITH {BASE_CTES}, {_tf_cte(terms)}, {_pivot_tf(terms)}, {eff_ctes}
+SELECT doc_id, CAST(round({score}, 6) AS DOUBLE) AS score FROM ef
+"""
+    return _rank_wrap(inner, k)
+
+
+def ranked_bool_sql(kind: str, terms: list[str], k: int) -> str:
+    tfs = [f"pv.tf{i}" for i in range(len(terms))]
+    if kind == "and":
+        score = f"least({', '.join(tfs)})"
+        where = " AND ".join(f"{t} IS NOT NULL" for t in tfs)
+    elif kind == "or":
+        score = f"greatest({', '.join(f'COALESCE({t}, 0)' for t in tfs)})"
+        where = "TRUE"
+    elif kind == "syn":
+        score = " + ".join(f"COALESCE({t}, 0)" for t in tfs)
+        where = "TRUE"
+    else:
+        raise ValueError(kind)
+    inner = f"""
+WITH {BASE_CTES}, {_tf_cte(terms)}, {_pivot_tf(terms)}
+SELECT doc_id, CAST(round(CAST({score} AS DOUBLE), 6) AS DOUBLE) AS score
+FROM pv WHERE {where}
+"""
+    return _rank_wrap(inner, k)
+
+
+def ranked_nested_sql(t_or: list[str], t_and: str, k: int) -> str:
+    """#and(#or(a b) c) under RankedBoolean: min(max(tfa, tfb), tfc)."""
+    terms = t_or + [t_and]
+    inner = f"""
+WITH {BASE_CTES}, {_tf_cte(terms)}, {_pivot_tf(terms)}
+SELECT doc_id,
+       CAST(round(CAST(least(greatest(COALESCE(pv.tf0, 0), COALESCE(pv.tf1, 0)), pv.tf2) AS DOUBLE), 6) AS DOUBLE) AS score
+FROM pv
+WHERE (pv.tf0 IS NOT NULL OR pv.tf1 IS NOT NULL) AND pv.tf2 IS NOT NULL
+"""
+    return _rank_wrap(inner, k)
+
+
+def unranked_and_sql(terms: list[str]) -> str:
+    tfs = [f"pv.tf{i} IS NOT NULL" for i in range(len(terms))]
+    return f"""
+WITH {BASE_CTES}, {_tf_cte(terms)}, {_pivot_tf(terms)}
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM pv
+WHERE {' AND '.join(tfs)} ORDER BY doc_id
+"""
+
+
+def near_docs_sql(a: str, b: str, dist: int) -> str:
+    return f"""
+WITH {BASE_CTES}
+SELECT DISTINCT x.doc_id AS doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM pos x JOIN pos y USING (doc_id)
+WHERE x.t = '{a}' AND y.t = '{b}' AND y.p > x.p AND y.p - x.p <= {dist}
+ORDER BY doc_id
+"""
+
+
+def window_docs_sql(a: str, b: str, dist: int) -> str:
+    return f"""
+WITH {BASE_CTES}
+SELECT DISTINCT x.doc_id AS doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM pos x JOIN pos y USING (doc_id)
+WHERE x.t = '{a}' AND y.t = '{b}'
+  AND greatest(x.p, y.p) - least(x.p, y.p) < {dist}
+ORDER BY doc_id
+"""
+
+
+def term_postings_sql(term: str) -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, {TOK} AS toks FROM documents)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS tf
+FROM (SELECT doc_id, unnest(toks) AS t FROM tok)
+WHERE t = '{term}' GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# -- pipeline oracles -------------------------------------------------------
+
+SHINGLES = (
+    "list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] "
+    "for i in range(1, len(toks) - 1)])"
+)
+
+
+def token_stats_sql() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, {TOK} AS toks FROM documents)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+  CAST(round(CAST(COALESCE(list_sum([CAST(length(t) AS BIGINT) for t in toks]), 0) AS DOUBLE)
+       / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS DOUBLE) AS avg_token_len
+FROM tok ORDER BY doc_id
+"""
+
+
+def quality_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
+    return f"""
+WITH tok AS (SELECT doc_id, {TOK} AS toks FROM documents),
+q AS (SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len([t for t in toks if list_contains([{stop}], t)]) AS DOUBLE)
+    / CAST(greatest(len(toks), 1) AS DOUBLE) AS stop_ratio,
+  CAST(len(list_distinct(toks)) AS DOUBLE)
+    / CAST(greatest(len(toks), 1) AS DOUBLE) AS uniq_ratio,
+  CAST(least(len(toks), 200) AS DOUBLE) / 200.0 AS len_score
+FROM tok)
+SELECT doc_id, n_tokens,
+  CAST(round(stop_ratio, 6) AS DOUBLE) AS stop_ratio,
+  CAST(round(uniq_ratio, 6) AS DOUBLE) AS uniq_ratio,
+  CAST(round(0.4 * (1.0 - stop_ratio) + 0.3 * uniq_ratio + 0.3 * len_score, 6) AS DOUBLE) AS quality
+FROM q ORDER BY doc_id
+"""
+
+
+def lang_id_sql() -> str:
+    langs = list(textstats.LANG_MARKERS)
+    counts = []
+    for lg in langs:
+        m = ", ".join(f"'{w}'" for w in textstats.LANG_MARKERS[lg])
+        counts.append(
+            f"CAST(len([t for t in toks if list_contains([{m}], t)]) AS BIGINT) AS n_{lg}"
+        )
+    best = f"greatest({', '.join('n_' + lg for lg in langs)})"
+    case = "CASE " + " ".join(
+        f"WHEN n_{lg} = {best} THEN '{lg}'" for lg in langs[:-1]
+    ) + f" ELSE '{langs[-1]}' END"
+    return f"""
+WITH tok AS (SELECT doc_id, {TOK} AS toks FROM documents),
+c AS (SELECT doc_id, {', '.join(counts)} FROM tok)
+SELECT doc_id, {', '.join('n_' + lg for lg in langs)}, {case} AS pred_lang
+FROM c ORDER BY doc_id
+"""
+
+
+def fingerprints_sql() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, text, {TOK} AS toks FROM documents)
+SELECT doc_id, md5(text) AS text_md5,
+       list_min([md5(s) FOR s IN {SHINGLES}]) AS min_shingle_md5
+FROM tok ORDER BY doc_id
+"""
+
+
+def bpe_count_sql() -> str:
+    return f"""
+SELECT doc_id,
+  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def exact_dedup_sql() -> str:
+    return """
+SELECT md5(text) AS key_md5, CAST(min(doc_id) AS BIGINT) AS rep_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY md5(text) HAVING count(*) > 1 ORDER BY key_md5
+"""
+
+
+def jaccard_seeds_sql(seed_ids: list[int], threshold: float) -> str:
+    seeds = ", ".join(str(s) for s in seed_ids)
+    return f"""
+WITH tok AS (SELECT doc_id, {TOK} AS toks FROM documents),
+sh AS (SELECT doc_id AS id, {SHINGLES} AS s FROM tok WHERE len(toks) >= 3),
+sd AS (SELECT id AS seed_id, s AS s_seed FROM sh WHERE id IN ({seeds})),
+p AS (SELECT sd.seed_id, sh.id AS doc_id,
+        CAST(round(CAST(len(list_intersect(sd.s_seed, sh.s)) AS DOUBLE)
+          / CAST(len(sd.s_seed) + len(sh.s) - len(list_intersect(sd.s_seed, sh.s)) AS DOUBLE), 6) AS DOUBLE) AS jaccard
+      FROM sh CROSS JOIN sd WHERE sh.id != sd.seed_id)
+SELECT seed_id, doc_id, jaccard FROM p WHERE jaccard >= {threshold!r}
+ORDER BY seed_id, doc_id
+"""
+
+
+def minhash_lsh_sql(threshold: float, n_hashes: int = 8, n_bands: int = 4) -> str:
+    rows = n_hashes // n_bands
+    mh_cols = ", ".join(
+        f"list_min([md5('{i}:' || s) FOR s IN sh.s]) AS mh_{i}" for i in range(n_hashes)
+    )
+    band_rows = []
+    for b in range(n_bands):
+        members = " || '|' || ".join(
+            f"mh_{i}" for i in range(b * rows, (b + 1) * rows)
+        )
+        band_rows.append(f"SELECT id, {b} AS band, md5({members}) AS bkey, s FROM sig")
+    bands_sql = " UNION ALL ".join(band_rows)
+    return f"""
+WITH tok AS (SELECT doc_id, {TOK} AS toks FROM documents),
+sh AS (SELECT doc_id AS id, {SHINGLES} AS s FROM tok WHERE len(toks) >= 3),
+sig AS (SELECT id, s, {mh_cols} FROM sh),
+banded AS ({bands_sql}),
+cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+         FROM banded x JOIN banded y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id),
+v AS (SELECT c.id_a, c.id_b,
+        CAST(round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE), 6) AS DOUBLE) AS jaccard
+      FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b)
+SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= {threshold!r} ORDER BY id_a, id_b
+"""
+
+
+def simhash_values_sql() -> str:
+    bit_sums = ", ".join(
+        f"CAST(sum(tf * (2 * CAST((h >> {j}) & 1 AS BIGINT) - 1)) AS BIGINT) AS s{j}"
+        for j in range(dedup.SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END"
+        for j in range(dedup.SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, {TOK} AS toks FROM documents),
+tt AS (SELECT doc_id AS id, t AS tok, CAST(count(*) AS BIGINT) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS t FROM tok) GROUP BY doc_id, t),
+th AS (SELECT id, tf, CAST(CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT) AS BIGINT) AS h FROM tt),
+bits AS (SELECT id, {bit_sums} FROM th GROUP BY id)
+SELECT id, CAST({sim} AS BIGINT) AS simhash FROM bits ORDER BY id
+"""
+
+
+def simhash_pairs_sql(max_hamming: int) -> str:
+    values = simhash_values_sql().replace("ORDER BY id", "")
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, simhash, {b} AS band, (simhash >> {b * 8}) & 255 AS bkey FROM sv"
+        for b in range(4)
+    )
+    return f"""
+WITH sv AS ({values}),
+banded AS ({band_rows}),
+p AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+        CAST(bit_count(xor(CAST(x.simhash AS UBIGINT), CAST(y.simhash AS UBIGINT))) AS INT) AS hamming
+      FROM banded x JOIN banded y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id)
+SELECT id_a, id_b, hamming FROM p WHERE hamming <= {max_hamming} ORDER BY id_a, id_b
+"""
+
+
+def ann_cosine_sql(query_ids: list[int], k: int) -> str:
+    qs = ", ".join(str(q) for q in query_ids)
+    return f"""
+WITH base AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+n AS (SELECT vec_id, v,
+        sqrt(list_sum([v[i] * v[i] FOR i IN range(1, len(v) + 1)])) AS nrm
+      FROM base),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id IN ({qs})),
+p AS (SELECT q.query_id, n.vec_id,
+        CAST(round(list_sum([q.qv[i] * n.v[i] FOR i IN range(1, len(n.v) + 1)])
+          / (q.qn * n.nrm), 6) AS DOUBLE) AS cos
+      FROM n CROSS JOIN q WHERE n.vec_id != q.query_id)
+SELECT query_id, vec_id, cos, rank FROM (
+  SELECT query_id, vec_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+  FROM p) __r
+WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# the registry: name -> (spark_fn, oracle_sql or None)
+# ---------------------------------------------------------------------------
+
+INDRI_P = {"mu": 1500.0, "lam": 0.3}
+
+
+def _sq(query: str, model, k: int):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        eng = engine_for(spark, sf_dir)
+        return _ranked(eng.scores(query, model=model), k)
+
+    return fn
+
+
+def _sq_docset(query: str, model):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        eng = engine_for(spark, sf_dir)
+        return _docset(eng.scores(query, model=model))
+
+    return fn
+
+
+def registry() -> dict[str, tuple]:
+    """name -> (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None)."""
+    K = 50
+    r: dict[str, tuple] = {}
+
+    # --- search engine (SURVEY.md §2) ---
+    r["term_postings"] = (
+        lambda spark, sf: engine_for(spark, sf)
+        .index.postings.where((F.col("term") == "spark") & (F.col("field") == "body"))
+        .select("doc_id", F.col("tf").cast("long").alias("tf"))
+        .orderBy("doc_id"),
+        term_postings_sql("spark"),
+    )
+    r["bm25_sum"] = (
+        _sq("dup spark merge", BM25(), K),
+        bm25_sum_sql(["dup", "spark", "merge"], K),
+    )
+    r["bm25_params"] = (
+        _sq("dup window", BM25(k1=2.0, b=0.3), K),
+        bm25_sum_sql(["dup", "window"], K, k1=2.0, b=0.3),
+    )
+    r["bm25_wsum"] = (
+        # BM25 #WSUM quirk: weights ignored, match-ALL (QrySopWSum.java:116-127)
+        _sq("#wsum(0.4 dup 0.6 spark)", BM25(), K),
+        _rank_wrap(
+            f"""
+WITH {BASE_CTES}, {_tf_cte(['dup', 'spark'])}, {_pivot_tf(['dup', 'spark'])},
+sc AS (SELECT pv.doc_id,
+  (SELECT greatest(0.0, ln((st.n_docs - d.df + 0.5) / (d.df + 0.5)))
+   * pv.tf0 / (pv.tf0 + 1.2 * (0.25 + 0.75 * dl.doc_len / (st.sum_len / st.doc_count)))
+   FROM (SELECT CAST(count(*) AS DOUBLE) AS df FROM tf WHERE term = 'dup') d) AS s0,
+  (SELECT greatest(0.0, ln((st.n_docs - d.df + 0.5) / (d.df + 0.5)))
+   * pv.tf1 / (pv.tf1 + 1.2 * (0.25 + 0.75 * dl.doc_len / (st.sum_len / st.doc_count)))
+   FROM (SELECT CAST(count(*) AS DOUBLE) AS df FROM tf WHERE term = 'spark') d) AS s1
+  FROM pv JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE pv.tf0 IS NOT NULL AND pv.tf1 IS NOT NULL)
+SELECT doc_id, CAST(round(s0 + s1, 6) AS DOUBLE) AS score FROM sc
+""",
+            K,
+        ),
+    )
+    r["rankedbool_and"] = (
+        _sq("#and(spark merge)", RankedBoolean(), K),
+        ranked_bool_sql("and", ["spark", "merge"], K),
+    )
+    r["rankedbool_or"] = (
+        _sq("#or(spark merge)", RankedBoolean(), K),
+        ranked_bool_sql("or", ["spark", "merge"], K),
+    )
+    r["rankedbool_nested"] = (
+        _sq("#and(#or(dup spark) merge)", RankedBoolean(), K),
+        ranked_nested_sql(["dup", "spark"], "merge", K),
+    )
+    r["syn_ranked"] = (
+        _sq("#syn(spark merge)", RankedBoolean(), K),
+        ranked_bool_sql("syn", ["spark", "merge"], K),
+    )
+    r["unrankedbool_and"] = (
+        _sq_docset("#and(spark merge)", UnrankedBoolean()),
+        unranked_and_sql(["spark", "merge"]),
+    )
+    r["near2_docs"] = (
+        _sq_docset("#near/2(spark merge)", UnrankedBoolean()),
+        near_docs_sql("spark", "merge", 2),
+    )
+    r["window4_docs"] = (
+        _sq_docset("#window/4(spark merge)", UnrankedBoolean()),
+        window_docs_sql("spark", "merge", 4),
+    )
+    r["indri_and"] = (
+        _sq("#and(dup spark)", Indri(**INDRI_P), K),
+        indri_sql(["dup", "spark"], "and", K, INDRI_P["mu"], INDRI_P["lam"]),
+    )
+    r["indri_or"] = (
+        _sq("#or(dup spark)", Indri(**INDRI_P), K),
+        indri_sql(["dup", "spark"], "or", K, INDRI_P["mu"], INDRI_P["lam"]),
+    )
+    r["indri_wand"] = (
+        _sq("#wand(0.7 dup 0.3 spark)", Indri(**INDRI_P), K),
+        indri_sql(["dup", "spark"], "wand", K, INDRI_P["mu"], INDRI_P["lam"], [0.7, 0.3]),
+    )
+    r["indri_wsum"] = (
+        _sq("#wsum(0.7 dup 0.3 spark)", Indri(**INDRI_P), K),
+        indri_sql(["dup", "spark"], "wsum", K, INDRI_P["mu"], INDRI_P["lam"], [0.7, 0.3]),
+    )
+
+    # --- training-data pipeline ---
+    r["token_stats"] = (
+        lambda spark, sf: textstats.token_stats(docs_df(spark, sf)).orderBy("doc_id"),
+        token_stats_sql(),
+    )
+    r["quality_scores"] = (
+        lambda spark, sf: textstats.quality_scores(docs_df(spark, sf)).orderBy("doc_id"),
+        quality_sql(),
+    )
+    r["lang_id"] = (
+        lambda spark, sf: textstats.lang_id(docs_df(spark, sf)).orderBy("doc_id"),
+        lang_id_sql(),
+    )
+    r["fingerprints"] = (
+        lambda spark, sf: textstats.fingerprints(docs_df(spark, sf)).orderBy("doc_id"),
+        fingerprints_sql(),
+    )
+    r["bpe_token_count"] = (
+        lambda spark, sf: textstats.bpe_token_count(docs_df(spark, sf)).orderBy("doc_id"),
+        bpe_count_sql(),
+    )
+    r["dedup_exact"] = (
+        lambda spark, sf: dedup.exact_duplicates(docs_df(spark, sf)).orderBy("key_md5"),
+        exact_dedup_sql(),
+    )
+    SEEDS = [8, 26, 45]
+    r["dedup_jaccard_seeds"] = (
+        lambda spark, sf: dedup.jaccard_pairs_vs_seeds(
+            docs_df(spark, sf), SEEDS, threshold=0.5
+        ).orderBy("seed_id", "doc_id"),
+        jaccard_seeds_sql(SEEDS, 0.5),
+    )
+    r["dedup_minhash_lsh"] = (
+        lambda spark, sf: dedup.minhash_lsh_pairs(
+            docs_df(spark, sf), threshold=0.8
+        ).orderBy("id_a", "id_b"),
+        minhash_lsh_sql(0.8),
+    )
+    r["simhash_values"] = (
+        lambda spark, sf: dedup.simhash_values(docs_df(spark, sf)).orderBy("id"),
+        simhash_values_sql(),
+    )
+    r["simhash_pairs"] = (
+        lambda spark, sf: dedup.simhash_pairs(docs_df(spark, sf), max_hamming=3)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b"),
+        simhash_pairs_sql(3),
+    )
+    QIDS = [0, 1, 2]
+    r["ann_cosine_topk"] = (
+        lambda spark, sf: similarity.cosine_topk(emb_df(spark, sf), QIDS, k=10)
+        .orderBy("query_id", "rank"),
+        ann_cosine_sql(QIDS, 10),
+    )
+    # scale-path ANN: LSH recall is verified against brute force in
+    # pytest; the driver records a rows-only check (not SQL-expressible
+    # without replicating the plane RNG).
+    r["ann_lsh_topk"] = (
+        lambda spark, sf: similarity.lsh_bucket_topk(emb_df(spark, sf), QIDS, k=10)
+        .orderBy("query_id", "rank"),
+        None,
+    )
+    r["emb_near_dup"] = (
+        lambda spark, sf: similarity.embedding_near_dup_pairs(
+            emb_df(spark, sf), threshold=0.95
+        ).orderBy("id_a", "id_b"),
+        None,
+    )
+    _ = math  # keep import (used by callers/debug)
+    return r

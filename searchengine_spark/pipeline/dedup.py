@@ -1,0 +1,219 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale notes (the whole point of these implementations):
+
+- **exact**: one groupBy on md5(text) — partial aggregation handles
+  head keys; no full-text shuffle (only the 32-hex key + id).
+- **jaccard vs seeds**: seeds are broadcast; the corpus streams through
+  a broadcast nested-loop only against the (small) seed set.
+- **MinHash+LSH**: the self-join happens ONLY on LSH band keys
+  (equi-join, shuffle on band hash) — never all-pairs. Bucket sizes
+  are bounded by near-dup cluster sizes, not corpus size. Candidate
+  pairs are then verified with exact shingle Jaccard.
+- **SimHash**: per-token hashing + one partial+final aggregation to a
+  64->32-bit signature; banding the signature gives the same equi-join
+  candidate generation.
+
+All hashes are md5-derived (functions.hashing) so results are
+reproducible in the DuckDB oracle value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from searchengine_spark.functions.hashing import band_key, hash32, minhash, shingles, tokens
+
+DEFAULT_HASHES = 8
+DEFAULT_BANDS = 4
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", key_col: str = "text") -> DataFrame:
+    """Clusters of byte-identical ``key_col``: (key_md5, rep_id, n_dups).
+
+    Only clusters with >1 member are duplicates; rep = min id.
+    """
+    return (
+        df.select(F.md5(F.col(key_col)).alias("key_md5"), F.col(id_col).cast("long").alias("id"))
+        .groupBy("key_md5")
+        .agg(F.min("id").alias("rep_id"), F.count(F.lit(1)).cast("long").alias("n_dups"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def _with_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    return (
+        df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("__text"))
+        .withColumn("__toks", tokens("__text"))
+        .withColumn("__sh", shingles("__toks", n))
+        .where(F.size("__sh") > 0)
+        .select("id", "__sh")
+    )
+
+
+def _jaccard(a: F.Column, b: F.Column) -> F.Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return inter / (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b))).cast("double")
+
+
+def jaccard_pairs_vs_seeds(
+    df: DataFrame,
+    seed_ids: list[int],
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(seed_id, doc_id, jaccard) for corpus docs near any seed doc.
+
+    Seed set is broadcast — the corpus never shuffles.
+    """
+    sh = _with_shingles(df, id_col, text_col, n)
+    seeds = sh.where(F.col("id").isin([int(s) for s in seed_ids])).select(
+        F.col("id").alias("seed_id"), F.col("__sh").alias("__sh_seed")
+    )
+    pairs = sh.join(F.broadcast(seeds), on=F.col("id") != F.col("seed_id"))
+    j = _jaccard(F.col("__sh_seed"), F.col("__sh"))
+    return (
+        pairs.select(
+            "seed_id", F.col("id").alias(id_col), F.round(j, 6).alias("jaccard")
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = DEFAULT_HASHES,
+    n: int = 3,
+) -> DataFrame:
+    """(id, mh_0..mh_{n-1}) MinHash signature over 3-gram shingles."""
+    sh = _with_shingles(df, id_col, text_col, n)
+    cols = [minhash(F.col("__sh"), i).alias(f"mh_{i}") for i in range(n_hashes)]
+    return sh.select("id", "__sh", *cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = DEFAULT_HASHES,
+    n_bands: int = DEFAULT_BANDS,
+    n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard) via banded MinHash.
+
+    Candidates = pairs agreeing on >=1 band (equi-join on band key);
+    each candidate is verified with exact shingle Jaccard so the output
+    has no LSH false positives (false negatives only — standard).
+    """
+    rows_per_band = n_hashes // n_bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, n).persist()
+
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        bands.append(
+            sig.select(
+                "id", F.lit(b).alias("band"), band_key(cols).alias("bkey")
+            )
+        )
+    banded = bands[0]
+    for fr in bands[1:]:
+        banded = banded.unionByName(fr)
+
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), on=["band", "bkey"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    a = sig.select(F.col("id").alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b_ = sig.select(F.col("id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    verified = (
+        cand.join(a, "id_a")
+        .join(b_, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_jaccard(F.col("__sh_a"), F.col("__sh_b")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+SIMHASH_BITS = 32
+
+
+def simhash_values(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash) — 32-bit tf-weighted SimHash from md5 token hashes.
+
+    One explode + one partial/final aggregation; the 32 per-bit sums
+    are plain conditional aggregates (all codegen, no UDF).
+    """
+    toks = (
+        df.select(F.col(id_col).cast("long").alias("id"), tokens(text_col).alias("__toks"))
+        .select("id", F.explode("__toks").alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn("h", hash32(F.col("tok")))
+    )
+    bit_sums = [
+        F.sum(
+            F.col("tf")
+            * (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("id").agg(*bit_sums)
+    sim = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        sim = sim + F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0))
+    return agg.select("id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-dup pairs by SimHash banding + hamming verify.
+
+    The 32-bit signature splits into 4 bytes; pairs agreeing on any
+    byte-band are candidates (pigeonhole: any pair within hamming<=3
+    shares at least one exact byte), verified with bit_count(xor).
+    """
+    sig = simhash_values(df, id_col, text_col).persist()
+    bands = []
+    for b in range(4):
+        bands.append(
+            sig.select(
+                "id",
+                "simhash",
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(255)).alias("bkey"),
+            )
+        )
+    banded = bands[0]
+    for fr in bands[1:]:
+        banded = banded.unionByName(fr)
+    return (
+        banded.alias("x")
+        .join(banded.alias("y"), on=["band", "bkey"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.bit_count(
+                F.expr("x.simhash ^ y.simhash")
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

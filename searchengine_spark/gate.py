@@ -36,6 +36,7 @@ from searchengine_spark.plans.models import BM25, Indri, RankedBoolean, Unranked
 # ---------------------------------------------------------------------------
 
 _ENGINES: dict[str, SearchEngine] = {}
+_WAND_IDX: dict[str, object] = {}
 
 
 def docs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -504,6 +505,24 @@ SELECT doc_id, CAST(round(s0 + s1, 6) AS DOUBLE) AS score FROM sc
             K,
         ),
     )
+    def _wand_pruned(spark: SparkSession, sf: str) -> DataFrame:
+        # block-max pruned BM25 must be rank-identical to the exhaustive
+        # oracle — same SQL as bm25_sum. Small blocks so 500 docs still
+        # exercise real pruning; prune with slack then round-rank.
+        from searchengine_spark.operators.wand import bm25_topk_pruned
+
+        idx = _WAND_IDX.get(sf)
+        if idx is None:
+            idx = build_index(
+                docs_df(spark, sf), fields={"body": "text"}, doc_id_col="doc_id",
+                ext_id_col="doc_id", analyzer="simple", block_range=32,
+            )
+            _WAND_IDX[sf] = idx
+        scores = bm25_topk_pruned(idx, ["dup", "spark", "merge"], k=K + 10)
+        return _ranked(scores, K)
+
+    r["bm25_wand_pruned"] = (_wand_pruned, bm25_sum_sql(["dup", "spark", "merge"], K))
+
     r["rankedbool_and"] = (
         _sq("#and(spark merge)", RankedBoolean(), K),
         ranked_bool_sql("and", ["spark", "merge"], K),
@@ -547,6 +566,50 @@ SELECT doc_id, CAST(round(s0 + s1, 6) AS DOUBLE) AS score FROM sc
     r["indri_wsum"] = (
         _sq("#wsum(0.7 dup 0.3 spark)", Indri(**INDRI_P), K),
         indri_sql(["dup", "spark"], "wsum", K, INDRI_P["mu"], INDRI_P["lam"], [0.7, 0.3]),
+    )
+
+    def _prf_terms(spark: SparkSession, sf: str) -> DataFrame:
+        from searchengine_spark.operators import prf
+
+        eng = engine_for(spark, sf)
+        init = _ranked(eng.scores("dup spark", model=BM25()), 10).collect()
+        top = [(int(r["doc_id"]), float(r["score"])) for r in init]
+        scored = prf.candidate_term_scores(
+            eng, top, prf.ExpandParams(fb="indri", fb_docs=10, fb_mu=500.0)
+        )
+        s = scored.select("term", F.round("fb_score", 5).alias("fb_score"))
+        w = Window.orderBy(F.desc("fb_score"), F.asc("term"))
+        return s.withColumn("rank", F.row_number().over(w).cast("int")).where(
+            F.col("rank") <= 10
+        )
+
+    prf_init = bm25_sum_sql(["dup", "spark"], 10)
+    r["prf_term_scores"] = (
+        _prf_terms,
+        f"""
+WITH init AS (SELECT doc_id, score FROM ({prf_init}) __i),
+tok2 AS (SELECT doc_id, {TOK} AS toks FROM documents),
+dl2 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS doc_len FROM tok2),
+st2 AS (SELECT CAST(sum(doc_len) AS DOUBLE) AS sum_len FROM dl2),
+allt AS (SELECT doc_id, unnest(toks) AS t FROM tok2),
+ct AS (SELECT t, CAST(count(*) AS DOUBLE) AS ctf FROM allt GROUP BY t),
+toptf AS (SELECT a.doc_id, a.t, CAST(count(*) AS DOUBLE) AS tf
+          FROM allt a JOIN init USING (doc_id) GROUP BY a.doc_id, a.t),
+s0 AS (SELECT sum(i.score / (d.doc_len + 500.0)) AS v
+       FROM init i JOIN dl2 d USING (doc_id)),
+pres AS (SELECT tt.t, sum(tt.tf / (d.doc_len + 500.0) * i.score) AS present
+         FROM toptf tt JOIN dl2 d USING (doc_id) JOIN init i USING (doc_id)
+         GROUP BY tt.t),
+fb AS (SELECT p.t AS term,
+         ln(st2.sum_len / ct.ctf)
+           * (p.present + 500.0 * ct.ctf / st2.sum_len * s0.v) AS fbs
+       FROM pres p JOIN ct USING (t) CROSS JOIN st2 CROSS JOIN s0)
+SELECT term, fb_score, rank FROM (
+  SELECT term, CAST(round(fbs, 5) AS DOUBLE) AS fb_score,
+         CAST(row_number() OVER (ORDER BY round(fbs, 5) DESC, term) AS INT) AS rank
+  FROM fb) __r
+WHERE rank <= 10 ORDER BY rank
+""",
     )
 
     # --- training-data pipeline ---

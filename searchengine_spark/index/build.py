@@ -67,6 +67,7 @@ class InvertedIndex:
     field_stats: dict  # field -> {doc_count, sum_len, avg_len}
     analyzer: str
     fields: tuple = dc_field(default=DEFAULT_FIELDS)
+    block_range: int = BLOCK_RANGE
 
     def avg_len(self, fld: str) -> float:
         return self.field_stats[fld]["avg_len"]
@@ -86,6 +87,7 @@ def build_index(
     analyzer: str = "english",
     with_blocks: bool = True,
     cache: bool = True,
+    block_range: int = BLOCK_RANGE,
 ) -> InvertedIndex:
     """Tokenize ``docs`` and build the postings/stats DataFrames.
 
@@ -155,7 +157,7 @@ def build_index(
     block_stats = None
     if with_blocks:
         block_stats = postings.groupBy(
-            "term", "field", (F.col("doc_id") / BLOCK_RANGE).cast("long").alias("block_id")
+            "term", "field", (F.col("doc_id") / block_range).cast("long").alias("block_id")
         ).agg(
             F.max("tf").alias("max_tf"),
             F.min("doc_len").alias("min_len"),
@@ -198,6 +200,7 @@ def build_index(
         field_stats=field_stats,
         analyzer=analyzer,
         fields=tuple(fields),
+        block_range=block_range,
     )
 
 
@@ -292,6 +295,7 @@ def write_index(
         "fields": list(index.fields),
         "buckets": buckets,
         "fingerprint": fp,
+        "block_range": index.block_range,
     }
     tmp = os.path.join(path, "meta.json.tmp")
     with open(tmp, "w") as f:
@@ -316,6 +320,7 @@ def read_index(spark: SparkSession, path: str) -> InvertedIndex:
         field_stats=meta["field_stats"],
         analyzer=meta["analyzer"],
         fields=tuple(meta["fields"]),
+        block_range=meta.get("block_range", BLOCK_RANGE),
     )
 
 

@@ -22,6 +22,7 @@ class PyIndex:
     """doc_tokens: {doc_id: {field: [token slots, '' = stopword]}}."""
 
     def __init__(self, doc_tokens: dict):
+        self.doc_tokens = doc_tokens
         self.postings: dict = {}
         self.doc_len: dict = {}
         self.sum_len: dict = {}
@@ -192,6 +193,35 @@ def _leaf(idx: PyIndex, node: SopNode, model):
         return (1.0 - lam) * (0.0 + mu * p_def) / (dl + mu) + lam * p_def
 
     return out, dfn
+
+
+def expand_terms(
+    idx: PyIndex,
+    top_docs: list[tuple[int, float]],
+    fb_terms: int,
+    fb_mu: float,
+    field: str = "body",
+) -> list[tuple[str, float]]:
+    """Direct per-doc loop mirroring QryExpand.java:100-124."""
+    collen = float(idx.sum_len[field])
+    cands = set()
+    for d, _ in top_docs:
+        for t in idx.doc_tokens[d][field]:
+            if t and "." not in t and "," not in t:
+                cands.add(t)
+    scores = {}
+    for t in cands:
+        ctf = sum(len(ps) for ps in idx.postings.get((t, field), {}).values())
+        idf = math.log(collen / ctf)
+        s = 0.0
+        for d, sd in top_docs:
+            tf = len(idx.postings.get((t, field), {}).get(d, []))
+            dl = idx.get_doc_len(d, field)
+            ptd = (tf + fb_mu * ctf / collen) / (dl + fb_mu)
+            s += ptd * sd * idf
+        scores[t] = s
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:fb_terms]
 
 
 def search(idx: PyIndex, ast, model, k: int) -> list[tuple[int, float]]:

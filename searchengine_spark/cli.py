@@ -1,0 +1,115 @@
+"""QryEval-equivalent entry point: ``python -m searchengine_spark.cli
+param_file`` (reference: QryEval.main, QryEval.java:31-59).
+
+Reads a key=value param file, opens the persisted index, evaluates the
+query file (with optional PRF expansion and diversification), writes
+the trec_eval run file. Designed for ``spark-submit --py-files``: no
+module-level Spark state.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+from searchengine_spark.engine import SearchEngine
+from searchengine_spark.index.build import read_index
+from searchengine_spark.operators import prf
+from searchengine_spark.operators.diversity import diversify, rankings_from_engine
+from searchengine_spark.plans.models import make_model
+from searchengine_spark.session import get_spark
+from searchengine_spark.sources.params import RunConfig, read_param_file
+from searchengine_spark.sources.trec import (
+    read_query_file,
+    read_run_file,
+    write_run_file,
+)
+
+
+def _read_intents(path: str) -> dict[str, str]:
+    out = {}
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if line and ":" in line:
+                qid, _, q = line.partition(":")
+                out[qid.strip()] = q.strip()
+    return out
+
+
+def run(param_file: str, spark=None) -> str:
+    cfg = RunConfig.from_params(read_param_file(param_file))
+    spark = spark or get_spark("qryeval")
+    idx = read_index(spark, cfg.index_path)
+    eng = SearchEngine(idx)
+    model = make_model(cfg.algorithm, **cfg.model_params)
+    queries = read_query_file(cfg.query_file)
+
+    fb_initial: dict[str, list] = {}
+    if cfg.fb and cfg.fb.get("initial_ranking_file"):
+        run_df = read_run_file(spark, cfg.fb["initial_ranking_file"])
+        for r in run_df.collect():
+            fb_initial.setdefault(r["qid"], []).append(
+                (int(r["ext_id"]), float(r["score"]))
+            )
+
+    out_rows = []
+    expansion_lines = []
+    for qid, q in queries:
+        if cfg.fb:
+            params = prf.ExpandParams(
+                fb=cfg.fb["fb"],
+                fb_docs=cfg.fb["fb_docs"],
+                fb_terms=cfg.fb["fb_terms"],
+                fb_mu=cfg.fb["fb_mu"],
+                fb_orig_weight=cfg.fb["fb_orig_weight"],
+            )
+            q_expanded, fb_query = prf.expand(
+                eng, q, params, model=model, initial_ranking=fb_initial.get(qid)
+            )
+            expansion_lines.append(f"{qid}: {fb_query}")
+            q = q_expanded
+
+        if cfg.diversity:
+            intents = (
+                _read_intents(cfg.diversity["intents_file"])
+                if cfg.diversity.get("intents_file")
+                else {}
+            )
+            my_intents = {k: v for k, v in intents.items() if k.startswith(qid + ".")}
+            rankings = rankings_from_engine(eng, qid, q, my_intents, model)
+            ranked = diversify(
+                rankings,
+                cfg.diversity["algorithm"],
+                cfg.diversity["lambda"],
+                cfg.diversity["max_input"],
+                cfg.diversity["max_result"],
+            )
+            rows = (
+                ranked.join(idx.docs.select("doc_id", "ext_id"), "doc_id")
+                .orderBy("rank")
+                .collect()
+            )
+        else:
+            rows = eng.search(q, model=model, k=cfg.output_length).collect()
+        for r in rows:
+            out_rows.append((qid, r["ext_id"], int(r["rank"]), float(r["score"])))
+
+    write_run_file(out_rows, cfg.output_path, all_qids=[qid for qid, _ in queries])
+    if cfg.fb and cfg.fb.get("expansion_file"):
+        with open(cfg.fb["expansion_file"], "w") as fh:
+            fh.write("\n".join(expansion_lines) + "\n")
+    _ = F
+    return cfg.output_path
+
+
+def main() -> None:
+    if len(sys.argv) != 2:
+        print("Usage: python -m searchengine_spark.cli <param_file>", file=sys.stderr)
+        sys.exit(1)
+    run(sys.argv[1])
+
+
+if __name__ == "__main__":
+    main()

@@ -283,11 +283,24 @@ def write_index(
                 json.dump(rec, f)
             os.replace(tmp, _bucket_entry(path, b))
 
-    index.term_stats.write.mode("overwrite").parquet(os.path.join(path, "term_stats"))
-    index.doc_stats.write.mode("overwrite").parquet(os.path.join(path, "doc_stats"))
-    if index.block_stats is not None:
-        index.block_stats.write.mode("overwrite").parquet(os.path.join(path, "block_stats"))
-    index.docs.write.mode("overwrite").parquet(os.path.join(path, "docs"))
+    # Side tables: idempotent under resume — if meta.json already records
+    # this fingerprint they are complete; rewriting would also self-clobber
+    # when `index` was read from this very path.
+    meta_path = os.path.join(path, "meta.json")
+    sides_done = False
+    if resume and os.path.exists(meta_path):
+        try:
+            with open(meta_path) as f:
+                sides_done = json.load(f).get("fingerprint") == fp
+        except (json.JSONDecodeError, OSError):
+            sides_done = False
+    result["sides_skipped"] = sides_done
+    if not sides_done:
+        index.term_stats.write.mode("overwrite").parquet(os.path.join(path, "term_stats"))
+        index.doc_stats.write.mode("overwrite").parquet(os.path.join(path, "doc_stats"))
+        if index.block_stats is not None:
+            index.block_stats.write.mode("overwrite").parquet(os.path.join(path, "block_stats"))
+        index.docs.write.mode("overwrite").parquet(os.path.join(path, "docs"))
     meta = {
         "n_docs": index.n_docs,
         "field_stats": index.field_stats,

@@ -68,6 +68,10 @@ class InvertedIndex:
     analyzer: str
     fields: tuple = dc_field(default=DEFAULT_FIELDS)
     block_range: int = BLOCK_RANGE
+    # set when postings carry the persisted bucket partition column:
+    # term scans add a constant-foldable ``pmod(xxhash64(term), n) =
+    # bucket`` predicate so only 1/n of the files are read.
+    n_buckets: int | None = None
 
     def avg_len(self, fld: str) -> float:
         return self.field_stats[fld]["avg_len"]
@@ -153,6 +157,8 @@ def build_index(
         F.count(F.lit(1)).cast("long").alias("df"),
         F.sum("tf").cast("long").alias("ctf"),
     )
+    if cache:
+        term_stats = term_stats.persist()
 
     block_stats = None
     if with_blocks:
@@ -320,7 +326,7 @@ def write_index(
 def read_index(spark: SparkSession, path: str) -> InvertedIndex:
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
-    postings = spark.read.parquet(os.path.join(path, "postings")).drop("bucket")
+    postings = spark.read.parquet(os.path.join(path, "postings"))
     block_path = os.path.join(path, "block_stats")
     return InvertedIndex(
         spark=spark,
@@ -334,6 +340,7 @@ def read_index(spark: SparkSession, path: str) -> InvertedIndex:
         analyzer=meta["analyzer"],
         fields=tuple(meta["fields"]),
         block_range=meta.get("block_range", BLOCK_RANGE),
+        n_buckets=int(meta["buckets"]),
     )
 
 

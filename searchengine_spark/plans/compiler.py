@@ -133,9 +133,16 @@ class Compiler:
 
     def compile_iop(self, node) -> IopResult:
         if isinstance(node, TermNode):
-            fr = self.index.postings.where(
-                (F.col("term") == node.term) & (F.col("field") == node.field)
-            ).select("doc_id", "tf", "doc_len", "positions")
+            cond = (F.col("term") == node.term) & (F.col("field") == node.field)
+            if self.index.n_buckets:
+                # constant-foldable -> partition pruning on the bucket dir
+                cond = cond & (
+                    F.col("bucket")
+                    == F.pmod(F.xxhash64(F.lit(node.term)), F.lit(self.index.n_buckets))
+                )
+            fr = self.index.postings.where(cond).select(
+                "doc_id", "tf", "doc_len", "positions"
+            )
             st = self.term_stats.get((node.term, node.field))
             return IopResult(fr, node.field, _stats=st)
 

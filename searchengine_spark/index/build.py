@@ -73,6 +73,19 @@ class InvertedIndex:
     # bucket`` predicate so only 1/n of the files are read.
     n_buckets: int | None = None
 
+    _temps: list = dc_field(default_factory=list)
+
+    def materialize(self) -> int:
+        """Force the postings build and drop intermediate caches."""
+        n = self.postings.count()
+        for fr in self._temps:
+            try:
+                fr.unpersist()
+            except Exception:
+                pass
+        self._temps = []
+        return n
+
     def avg_len(self, fld: str) -> float:
         return self.field_stats[fld]["avg_len"]
 
@@ -108,11 +121,17 @@ def build_index(
 
     per_field = []
     stats_rows = []
+    temps = []
     for fld, src in fields.items():
         toks = docs.select(
             F.col(doc_id_col).cast("long").alias("doc_id"),
             tok(F.col(src).cast("string")).alias("toks"),
         ).select("doc_id", "toks", F.size("toks").alias("doc_len"))
+        if cache:
+            # postings AND doc_stats both read this frame; without the
+            # persist the (expensive) tokenize UDF pass runs twice
+            toks = toks.persist()
+            temps.append(toks)
         exploded = (
             toks.select("doc_id", "doc_len", F.posexplode("toks").alias("pos", "term"))
             .where(F.col("term") != "")
@@ -207,6 +226,7 @@ def build_index(
         analyzer=analyzer,
         fields=tuple(fields),
         block_range=block_range,
+        _temps=temps,
     )
 
 
@@ -344,16 +364,46 @@ def read_index(spark: SparkSession, path: str) -> InvertedIndex:
     )
 
 
-def assign_doc_ids(docs: DataFrame, ext_id_col: str = "url") -> DataFrame:
-    """Deterministic dense doc ids: row_number over the external id.
+def assign_doc_ids(
+    docs: DataFrame, ext_id_col: str = "url", partitions: int | None = None
+) -> DataFrame:
+    """Deterministic dense doc ids, ascending in external-id order.
 
-    zipWithIndex-style ids depend on partitioning; ordering by the unique
-    external key makes rebuilds reproducible (SURVEY.md §1.4). At 10^12 docs
-    a global sort is expensive but one-time; a monotonically-increasing +
-    re-rank by range partitioning gives the same result and is what this
-    compiles to physically (RangePartitioning + window).
+    A naive ``row_number() over (order by url)`` funnels the whole
+    corpus through ONE task — and everything downstream (tokenization,
+    posting build) inherits that single partition. Instead:
+
+    1. range-partition by url (parallel global sort) and cache so the
+       partition layout is frozen,
+    2. count rows per partition (tiny collect) -> cumulative offsets,
+    3. doc_id = partition offset + (row_number within partition) - 1.
+
+    The mapping is invariant to the sampled range boundaries (a doc's
+    id is exactly the number of urls before it), so rebuilds are
+    reproducible; each partition numbers itself in parallel.
     """
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col(ext_id_col))
-    return docs.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+    spark = docs.sparkSession
+    p = partitions or spark.sparkContext.defaultParallelism * 2
+    part = docs.repartitionByRange(p, F.col(ext_id_col)).persist()
+    with_pid = part.withColumn("__pid", F.spark_partition_id())
+    counts = {
+        int(r["__pid"]): int(r["cnt"])
+        for r in with_pid.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    omap = F.create_map(
+        *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+    )
+    w = Window.partitionBy("__pid").orderBy(F.col(ext_id_col))
+    return (
+        with_pid.withColumn(
+            "doc_id",
+            (F.row_number().over(w).cast("long") - 1 + omap[F.col("__pid")]).cast("long"),
+        )
+        .drop("__pid")
+    )

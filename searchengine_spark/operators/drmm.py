@@ -1,0 +1,243 @@
+"""DRMM neural re-ranker (reference: RetrievalModelDRMM.java, MLP.java).
+
+Pipeline replicated Spark-first:
+
+1. **Word vectors** — the reference memory-maps a word2vec file
+   (IdxWordvec.java:60-100, L2-normalized on read). No embedding file
+   ships with this repo, so vectors are deterministic hash-seeded
+   Gaussians, L2-normalized — same interface, reproducible everywhere
+   (swap ``term_vector`` for a real store in production).
+2. **Histogram featurization** (getBin, RetrievalModelDRMM.java:587-614)
+   — per (query term, doc): cosine similarities of the doc's terms vs
+   the query term, binned into ``n_bins`` over [-1, 1); sim >= 0.99999
+   goes to the last bin; counts are ``log(1 + c)``. Distributed: doc
+   term vectors are derived inside an Arrow UDF over the forward index
+   rows of the candidate set.
+3. **idf-softmax term gating** (RetrievalModelDRMM.java:139-155):
+   ``softmax(ln((N-df+0.5)/(df+0.5)))`` over query terms.
+4. **MLP** (MLP.java:28-99): tanh hidden layers -> scalar per (term,
+   doc); document score = idf-softmax-weighted sum (WeightedSum.java);
+   trained with pairwise hinge loss + adagrad (HingeLoss.java:10-25,
+   MLP.java:79-90) on relevant/non-relevant pairs, driver-side numpy
+   (the model is a few hundred floats; featurization is the distributed
+   part).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import ArrayType, FloatType
+
+from searchengine_spark.engine import SearchEngine
+
+DIM = 64
+N_BINS = 10
+
+
+def term_vector(term: str, dim: int = DIM) -> np.ndarray:
+    """Deterministic L2-normalized pseudo-word2vec vector."""
+    seed = int.from_bytes(hashlib.md5(term.encode()).digest()[:8], "little")
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(dim).astype(np.float64)
+    return v / np.linalg.norm(v)
+
+
+def _bin_index(sim: float, n_bins: int) -> int:
+    """getBin semantics (RetrievalModelDRMM.java:587-614)."""
+    if sim >= 0.99999:
+        return n_bins - 1
+    return min(n_bins - 1, int((sim + 1.0) / 2.0 * n_bins))
+
+
+def histogram_features(
+    engine: SearchEngine,
+    query_terms: list[str],
+    cand: DataFrame,
+    field: str = "body",
+    n_bins: int = N_BINS,
+) -> DataFrame:
+    """(doc_id, hist: array<float> of len n_terms*n_bins).
+
+    One postings filter on the candidate set + groupBy doc + Arrow UDF;
+    the histogram kernel runs vectorized per record batch.
+    """
+    idx = engine.index
+    posts = idx.postings.where(F.col("field") == field).join(
+        F.broadcast(cand.select("doc_id")), on="doc_id"
+    )
+    fwd = posts.groupBy("doc_id").agg(
+        F.collect_list("term").alias("terms"), F.collect_list("tf").alias("tfs")
+    )
+
+    qvecs = np.stack([term_vector(t) for t in query_terms])  # (Q, DIM)
+    nq = len(query_terms)
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def hist_udf(terms_s: pd.Series, tfs_s: pd.Series) -> pd.Series:
+        out = []
+        cache: dict[str, np.ndarray] = {}
+        for terms, tfs in zip(terms_s, tfs_s):
+            vecs = []
+            for t in terms:
+                v = cache.get(t)
+                if v is None:
+                    v = term_vector(t)
+                    cache[t] = v
+                vecs.append(v)
+            dv = np.stack(vecs) if vecs else np.zeros((0, DIM))
+            sims = qvecs @ dv.T  # (Q, n_doc_terms)
+            h = np.zeros((nq, n_bins), dtype=np.float64)
+            for qi in range(nq):
+                for j in range(sims.shape[1]):
+                    b = _bin_index(float(sims[qi, j]), n_bins)
+                    h[qi, b] += float(tfs[j])
+            out.append(np.log1p(h).astype(np.float32).ravel().tolist())
+        return pd.Series(out)
+
+    return fwd.select("doc_id", hist_udf("terms", "tfs").alias("hist"))
+
+
+def idf_softmax(engine: SearchEngine, query_terms: list[str], field: str = "body") -> np.ndarray:
+    """softmax(ln((N-df+0.5)/(df+0.5))) (RetrievalModelDRMM.java:139-155)."""
+    idx = engine.index
+    keys = [f"{t}\x00{field}" for t in query_terms]
+    rows = idx.term_stats.where(
+        F.concat_ws("\x00", F.col("term"), F.col("field")).isin(keys)
+    ).collect()
+    dfs = {r["term"]: int(r["df"]) for r in rows}
+    n = float(idx.n_docs)
+    idfs = np.array(
+        [math.log((n - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5)) for t in query_terms]
+    )
+    e = np.exp(idfs - idfs.max())
+    return e / e.sum()
+
+
+class MLP:
+    """Tiny tanh MLP with adagrad (MLP.java:28-99 shape, numpy)."""
+
+    def __init__(self, sizes=(N_BINS, 5, 1), seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.w = [rng.standard_normal((a, b)) * 0.3 for a, b in zip(sizes, sizes[1:])]
+        self.b = [np.zeros(b) for b in sizes[1:]]
+        self._gw = [np.zeros_like(w) for w in self.w]
+        self._gb = [np.zeros_like(b) for b in self.b]
+
+    def forward(self, x: np.ndarray):
+        acts = [x]
+        h = x
+        for i, (w, b) in enumerate(zip(self.w, self.b)):
+            z = h @ w + b
+            h = z if i == len(self.w) - 1 else np.tanh(z)  # identity output
+            acts.append(h)
+        return acts
+
+    def score(self, x: np.ndarray) -> np.ndarray:
+        return self.forward(x)[-1][..., 0]
+
+    def grad_step(self, x_pos, x_neg, lr=0.05, margin=1.0):
+        """Pairwise hinge: max(0, margin - (s_pos - s_neg)) with adagrad."""
+        sp = self.score(x_pos)
+        sn = self.score(x_neg)
+        if margin - (sp - sn) <= 0:
+            return 0.0
+        for x, sign in ((x_pos, -1.0), (x_neg, 1.0)):
+            acts = self.forward(x[None, :])
+            delta = np.array([[sign]])
+            for i in reversed(range(len(self.w))):
+                a_in = acts[i]
+                gw = a_in.T @ delta
+                gb = delta[0]
+                self._gw[i] += gw**2
+                self._gb[i] += gb**2
+                self.w[i] -= lr * gw / (np.sqrt(self._gw[i]) + 1e-8)
+                self.b[i] -= lr * gb / (np.sqrt(self._gb[i]) + 1e-8)
+                if i > 0:
+                    delta = (delta @ self.w[i].T) * (1 - acts[i] ** 2)
+        return float(margin - (sp - sn))
+
+    def save(self, path: str) -> None:
+        np.savez(path, **{f"w{i}": w for i, w in enumerate(self.w)},
+                 **{f"b{i}": b for i, b in enumerate(self.b)})
+
+    @classmethod
+    def load(cls, path: str) -> "MLP":
+        data = np.load(path)
+        m = cls()
+        m.w = [data[f"w{i}"] for i in range(len(m.w))]
+        m.b = [data[f"b{i}"] for i in range(len(m.b))]
+        return m
+
+
+def train(
+    engine: SearchEngine,
+    query_terms: list[str],
+    feats: DataFrame,
+    qrels: dict[int, int],
+    epochs: int = 5,
+    n_bins: int = N_BINS,
+    seed: int = 11,
+) -> MLP:
+    """Pairwise training on (relevant, non-relevant) doc pairs
+    (seeded sampling, RetrievalModelDRMM.java:498-555)."""
+    rows = {int(r["doc_id"]): np.asarray(r["hist"], dtype=np.float64) for r in feats.collect()}
+    weights = idf_softmax(engine, query_terms)
+    nq = len(query_terms)
+
+    def doc_feat(h):
+        return h.reshape(nq, n_bins)
+
+    pos = [d for d in rows if qrels.get(d, 0) > 0]
+    neg = [d for d in rows if qrels.get(d, 0) == 0]
+    mlp = MLP(sizes=(n_bins, 5, 1), seed=seed)
+    rng = np.random.default_rng(seed)
+    for _ in range(epochs):
+        for p in pos:
+            if not neg:
+                break
+            q = neg[int(rng.integers(0, len(neg)))]
+            hp, hn = doc_feat(rows[p]), doc_feat(rows[q])
+            # weighted sum over per-term MLP scores == train on the
+            # weighted-mixed features pairwisely per term
+            for qi in range(nq):
+                mlp.grad_step(hp[qi] * weights[qi], hn[qi] * weights[qi])
+    return mlp
+
+
+def rerank(
+    engine: SearchEngine,
+    query_terms: list[str],
+    feats: DataFrame,
+    mlp: MLP,
+    k: int = 100,
+    n_bins: int = N_BINS,
+) -> DataFrame:
+    """Score candidates with the trained MLP + idf-softmax gating."""
+    weights = idf_softmax(engine, query_terms)
+    nq = len(query_terms)
+    w_list = weights.tolist()
+    mlp_w = [w.tolist() for w in mlp.w]
+    mlp_b = [b.tolist() for b in mlp.b]
+
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def score_udf(hist_s: pd.Series) -> pd.Series:
+        m = MLP()
+        m.w = [np.asarray(w) for w in mlp_w]
+        m.b = [np.asarray(b) for b in mlp_b]
+        out = []
+        for h in hist_s:
+            hh = np.asarray(h, dtype=np.float64).reshape(nq, n_bins)
+            per_term = m.score(hh)
+            out.append(float(np.dot(per_term, np.asarray(w_list))))
+        return pd.Series(out)
+
+    scored = feats.select("doc_id", score_udf("hist").alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

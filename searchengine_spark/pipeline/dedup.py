@@ -89,10 +89,20 @@ def minhash_signatures(
     n_hashes: int = DEFAULT_HASHES,
     n: int = 3,
 ) -> DataFrame:
-    """(id, mh_0..mh_{n-1}) MinHash signature over 3-gram shingles."""
-    sh = _with_shingles(df, id_col, text_col, n)
-    cols = [minhash(F.col("__sh"), i).alias(f"mh_{i}") for i in range(n_hashes)]
-    return sh.select("id", "__sh", *cols)
+    """(id, __sh, mh_0..mh_{n-1}) MinHash signature over 3-gram shingles.
+
+    Computed as explode -> one groupBy with n_hashes ``min(md5(...))``
+    aggregates: a single pass with map-side partial aggregation. (The
+    naive ``array_min(transform(...))`` per hash inlines the whole
+    tokenize+shingle expression once PER HASH — 8x the work.)
+    """
+    sh = _with_shingles(df, id_col, text_col, n).persist()
+    ex = sh.select("id", F.explode("__sh").alias("s"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return ex.groupBy("id").agg(*aggs).join(sh, on="id")
 
 
 def minhash_lsh_pairs(

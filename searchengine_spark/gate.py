@@ -666,6 +666,65 @@ WHERE rank <= 10 ORDER BY rank
         .orderBy("query_id", "rank"),
         ann_cosine_sql(QIDS, 10),
     )
+    # --- iterative / learned operators: deterministic but not
+    # SQL-expressible (greedy loops, model forward passes) -> rows-only
+    # driver checks; semantics are golden-tested in pytest instead.
+    def _diversity_xquad(spark: SparkSession, sf: str) -> DataFrame:
+        from searchengine_spark.operators.diversity import diversify, rankings_from_engine
+
+        eng = engine_for(spark, sf)
+        rankings = rankings_from_engine(
+            eng, "q1", "dup spark", {"q1.1": "merge", "q1.2": "window"},
+            model=BM25(), k=50,
+        )
+        out = diversify(rankings, "xquad", lam=0.5, max_input=50, max_result=20)
+        return out.select(
+            "qid", "doc_id", F.round("score", 6).alias("score"), "rank"
+        ).orderBy("rank")
+
+    r["diversity_xquad"] = (_diversity_xquad, None)
+
+    def _diversity_pm2(spark: SparkSession, sf: str) -> DataFrame:
+        from searchengine_spark.operators.diversity import diversify, rankings_from_engine
+
+        eng = engine_for(spark, sf)
+        rankings = rankings_from_engine(
+            eng, "q1", "dup spark", {"q1.1": "merge", "q1.2": "window"},
+            model=BM25(), k=50,
+        )
+        out = diversify(rankings, "pm2", lam=0.5, max_input=50, max_result=20)
+        return out.select(
+            "qid", "doc_id", F.round("score", 6).alias("score"), "rank"
+        ).orderBy("rank")
+
+    r["diversity_pm2"] = (_diversity_pm2, None)
+
+    def _letor_features(spark: SparkSession, sf: str) -> DataFrame:
+        from searchengine_spark.operators import letor
+
+        eng = engine_for(spark, sf)
+        cand = _ranked(eng.scores("dup spark", model=BM25()), 20).select("doc_id")
+        feats = letor.featurize(eng, "q1", "dup spark", cand)
+        cols = [F.round(c, 6).alias(c) for c in letor.FEATURE_COLS]
+        return feats.select("qid", "doc_id", *cols).orderBy("doc_id")
+
+    r["letor_features"] = (_letor_features, None)
+
+    def _drmm_rerank(spark: SparkSession, sf: str) -> DataFrame:
+        from searchengine_spark.operators import drmm
+
+        eng = engine_for(spark, sf)
+        terms = ["dup", "spark"]
+        cand = _ranked(eng.scores("dup spark", model=BM25()), 20).select("doc_id")
+        feats = drmm.histogram_features(eng, terms, cand)
+        mlp = drmm.MLP(seed=5)  # fixed net -> deterministic scores
+        out = drmm.rerank(eng, terms, feats, mlp, k=10)
+        return out.select(
+            "doc_id", F.round("score", 6).alias("score"), "rank"
+        ).orderBy("rank")
+
+    r["drmm_rerank"] = (_drmm_rerank, None)
+
     # scale-path ANN: LSH recall is verified against brute force in
     # pytest; the driver records a rows-only check (not SQL-expressible
     # without replicating the plane RNG).

@@ -93,10 +93,13 @@ def _dl(f: str) -> str:
 
 
 class Compiler:
-    def __init__(self, index: InvertedIndex, model):
+    def __init__(self, index: InvertedIndex, model, agg_threshold: int = 8):
         self.index = index
         self.model = model
         self.term_stats: dict[tuple[str, str], tuple[int, int]] = {}
+        # bag-of-words #SUM queries longer than this use the union+agg
+        # physical strategy instead of k-way joins
+        self.agg_threshold = agg_threshold
 
     # ------------------------------------------------------------------
     # stats prefetch: ONE small filtered collect for all terms in a query
@@ -205,6 +208,21 @@ class Compiler:
         if node.op == "score":
             return self._leaf(node)
 
+        # Scalable path for long bag-of-words BM25: #SUM over pure term
+        # leaves is semantically a union + groupBy-sum (missing args
+        # contribute 0), ONE shuffle instead of k-1 joins. The join path
+        # stays the default for short queries because its fixed operand
+        # order is float-reproducible against the SQL oracle.
+        if (
+            node.op == "sum"
+            and isinstance(m, BM25)
+            and len(node.args) > self.agg_threshold
+            and all(
+                a.op == "score" and isinstance(a.args[0], TermNode) for a in node.args
+            )
+        ):
+            return self._sum_by_aggregation(node)
+
         children = [self.compile_sop(a) for a in node.args]
         k = len(children)
         indri = isinstance(m, Indri)
@@ -258,6 +276,18 @@ class Compiler:
             for f in sorted(all_fields):
                 out_cols.append(dlmap[f].alias(_dl(f)))
         return ScoreResult(joined.select(*out_cols), all_fields, default_fn)
+
+    def _sum_by_aggregation(self, node: SopNode) -> ScoreResult:
+        """union of per-term leaf scores -> groupBy(doc_id).sum — the
+        classic one-shuffle BM25 term-at-a-time aggregation."""
+        frames = []
+        for a in node.args:
+            frames.append(self._leaf(a).frame)
+        u = frames[0]
+        for fr in frames[1:]:
+            u = u.unionByName(fr)
+        out = u.groupBy("doc_id").agg(F.sum("score").alias("score"))
+        return ScoreResult(out, frozenset(a.args[0].field for a in node.args))
 
     # -- score expressions ---------------------------------------------
 

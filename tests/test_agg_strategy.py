@@ -1,0 +1,44 @@
+"""The union+agg physical strategy for long BM25 #SUM queries must be
+score-equivalent to the join strategy (and to the oracle)."""
+
+import pytest
+
+from searchengine_spark.engine import SearchEngine
+from searchengine_spark.plans.compiler import Compiler
+from searchengine_spark.plans.models import BM25
+from tests import oracle as orc
+
+
+def test_agg_equals_join_strategy(pages_index, py_index):
+    eng = SearchEngine(pages_index)
+    m = BM25()
+    # > 8 terms triggers the agg path in one compiler, never in the other
+    q = "barim batok balan cerim cetok celan dirim ditok dilan baser"
+    ast = eng.parse(q, m)
+
+    join_comp = Compiler(pages_index, m, agg_threshold=100)
+    agg_comp = Compiler(pages_index, m, agg_threshold=2)
+
+    join_scores = {
+        int(r["doc_id"]): float(r["score"]) for r in join_comp.compile(ast).collect()
+    }
+    agg_scores = {
+        int(r["doc_id"]): float(r["score"]) for r in agg_comp.compile(ast).collect()
+    }
+    assert set(join_scores) == set(agg_scores)
+    for d, s in join_scores.items():
+        assert agg_scores[d] == pytest.approx(s, rel=1e-9)
+
+    expected = dict(orc.search(py_index, ast, m, k=10**9))
+    assert set(agg_scores) == set(expected)
+    for d, s in expected.items():
+        assert agg_scores[d] == pytest.approx(s, rel=1e-9)
+
+
+def test_agg_path_not_used_for_short_queries(pages_index):
+    eng = SearchEngine(pages_index)
+    m = BM25()
+    ast = eng.parse("barim batok", m)
+    comp = Compiler(pages_index, m)  # default threshold 8
+    plan = comp.compile(ast)._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" in plan or "SortMergeJoin" in plan or "Join" in plan

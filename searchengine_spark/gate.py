@@ -612,6 +612,96 @@ WHERE rank <= 10 ORDER BY rank
 """,
     )
 
+    # --- multi-field Indri (doc_stats default-length fallback path) ---
+    def _indri_multifield(spark: SparkSession, sf: str) -> DataFrame:
+        eng = _ENGINES.get(sf + "#mf")
+        if eng is None:
+            idx = build_index(
+                docs_df(spark, sf),
+                fields={"body": "text", "title": "source"},
+                doc_id_col="doc_id", ext_id_col="doc_id", analyzer="simple",
+            )
+            eng = SearchEngine(idx, fields=("body", "title"))
+            _ENGINES[sf + "#mf"] = eng
+        return _ranked(
+            eng.scores("#wsum(0.4 src1.title 0.6 spark)", model=Indri(**INDRI_P)), K
+        )
+
+    mu, lam = INDRI_P["mu"], INDRI_P["lam"]
+    r["indri_multifield_wsum"] = (
+        _indri_multifield,
+        _rank_wrap(
+            f"""
+WITH tokb AS (SELECT doc_id, {TOK} AS toks FROM documents),
+tokt AS (SELECT doc_id, regexp_extract_all(lower(source), '[a-z0-9]+') AS toks FROM documents),
+dlb AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tokb),
+dlt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tokt),
+stb AS (SELECT CAST(sum(dl) AS DOUBLE) AS sum_len FROM dlb),
+stt AS (SELECT CAST(sum(dl) AS DOUBLE) AS sum_len FROM dlt),
+tfb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM
+        (SELECT doc_id, unnest(toks) AS t FROM tokb) WHERE t = 'spark' GROUP BY doc_id),
+tft AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM
+        (SELECT doc_id, unnest(toks) AS t FROM tokt) WHERE t = 'src1' GROUP BY doc_id),
+ctb AS (SELECT CAST(COALESCE(sum(tf), 0) AS DOUBLE) AS v FROM tfb),
+ctt AS (SELECT CAST(COALESCE(sum(tf), 0) AS DOUBLE) AS v FROM tft),
+docs0 AS (SELECT doc_id FROM tfb UNION SELECT doc_id FROM tft),
+e AS (SELECT d.doc_id,
+  CASE WHEN tft.tf IS NOT NULL
+    THEN {1.0 - lam!r} * (tft.tf + {mu!r} * (ctt.v / stt.sum_len)) / (dlt.dl + {mu!r}) + {lam!r} * (ctt.v / stt.sum_len)
+    ELSE {1.0 - lam!r} * (0.0 + {mu!r} * ((CASE WHEN ctt.v < 1.0 THEN 0.5 ELSE ctt.v END) / stt.sum_len)) / (dlt.dl + {mu!r})
+         + {lam!r} * ((CASE WHEN ctt.v < 1.0 THEN 0.5 ELSE ctt.v END) / stt.sum_len) END AS e0,
+  CASE WHEN tfb.tf IS NOT NULL
+    THEN {1.0 - lam!r} * (tfb.tf + {mu!r} * (ctb.v / stb.sum_len)) / (dlb.dl + {mu!r}) + {lam!r} * (ctb.v / stb.sum_len)
+    ELSE {1.0 - lam!r} * (0.0 + {mu!r} * ((CASE WHEN ctb.v < 1.0 THEN 0.5 ELSE ctb.v END) / stb.sum_len)) / (dlb.dl + {mu!r})
+         + {lam!r} * ((CASE WHEN ctb.v < 1.0 THEN 0.5 ELSE ctb.v END) / stb.sum_len) END AS e1
+  FROM docs0 d
+  LEFT JOIN tft ON tft.doc_id = d.doc_id
+  LEFT JOIN tfb ON tfb.doc_id = d.doc_id
+  JOIN dlt ON dlt.doc_id = d.doc_id
+  JOIN dlb ON dlb.doc_id = d.doc_id
+  CROSS JOIN stb CROSS JOIN stt CROSS JOIN ctb CROSS JOIN ctt)
+SELECT doc_id, CAST(round(e0 * 0.4 / 1.0 + e1 * 0.6 / 1.0, 6) AS DOUBLE) AS score FROM e
+""",
+            K,
+        ),
+    )
+
+    # --- events table: tumbling-window aggregation + sessionization ---
+    from searchengine_spark.pipeline import events as ev
+
+    r["events_windowed"] = (
+        lambda spark, sf: ev.windowed_event_counts(
+            spark.read.parquet(f"{sf}/events.parquet")
+        ).orderBy("window_start", "event_type"),
+        """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(value), 6) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    )
+    r["events_sessionize"] = (
+        lambda spark, sf: ev.sessionize(
+            spark.read.parquet(f"{sf}/events.parquet"), gap_minutes=30
+        ).select("event_id", "user_id", "session_seq", "session_id").orderBy("event_id"),
+        """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+         THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, user_id,
+  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq,
+  user_id::VARCHAR || '-' ||
+  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT)::VARCHAR AS session_id
+FROM g ORDER BY event_id
+""",
+    )
+
     # --- training-data pipeline ---
     r["token_stats"] = (
         lambda spark, sf: textstats.token_stats(docs_df(spark, sf)).orderBy("doc_id"),

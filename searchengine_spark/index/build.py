@@ -280,9 +280,20 @@ def write_index(
     )
     if todo:
         t0 = time.time()
+        # Salted shuffle: partitioning by bucket alone would funnel a
+        # stopword-heavy bucket's entire posting mass through ONE writer
+        # task at web scale. Salting by a doc-id range spreads each
+        # bucket across `salt` writers (several sorted files per bucket
+        # directory — readers still prune on the bucket dir, and rows
+        # within each file stay (term, field, doc_id)-sorted).
+        salt = int(os.environ.get("SPARK_GRAFT_WRITE_SALT", "8"))
         (
             bucketed.where(F.col("bucket").isin([int(b) for b in todo]))
-            .repartition(max(len(todo), 1), "bucket")
+            .repartition(
+                max(len(todo) * salt, 1),
+                "bucket",
+                F.pmod(F.col("doc_id"), F.lit(salt)),
+            )
             .sortWithinPartitions("term", "field", "doc_id")
             .write.mode("overwrite")
             .partitionBy("bucket")

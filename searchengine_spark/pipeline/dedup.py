@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from searchengine_spark.functions.hashing import band_key, hash32, minhash, shingles, tokens
+from searchengine_spark.functions.hashing import band_key, hash32, shingles, tokens
 
 DEFAULT_HASHES = 8
 DEFAULT_BANDS = 4

@@ -93,7 +93,7 @@ def _dl(f: str) -> str:
 
 
 class Compiler:
-    def __init__(self, index: InvertedIndex, model, agg_threshold: int = 8):
+    def __init__(self, index: InvertedIndex, model, agg_threshold: int = 4):
         self.index = index
         self.model = model
         self.term_stats: dict[tuple[str, str], tuple[int, int]] = {}

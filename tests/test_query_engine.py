@@ -41,11 +41,23 @@ BM25_QUERIES = [
 ]
 INDRI_QUERIES = BOOL_QUERIES
 
+# "zzzqx" never occurs in the corpus: exercises empty posting frames,
+# df=0 idf, and the Indri ctf<1 -> 0.5 default (QrySopScore.java:98-112)
+ABSENT_QUERIES = [
+    "zzzqx",
+    "barim zzzqx",
+    "#or(barim zzzqx)",
+    "#near/2(barim zzzqx)",
+]
+
 CASES = (
     [(UnrankedBoolean(), q) for q in BOOL_QUERIES]
     + [(RankedBoolean(), q) for q in BOOL_QUERIES]
     + [(BM25(), q) for q in BM25_QUERIES]
     + [(Indri(), q) for q in INDRI_QUERIES]
+    + [(RankedBoolean(), q) for q in ABSENT_QUERIES]
+    + [(BM25(), q) for q in ["zzzqx", "barim zzzqx", "#near/2(barim zzzqx)"]]
+    + [(Indri(), q) for q in ABSENT_QUERIES]
     + [(Indri(mu=1500.0, lam=0.01), q) for q in ["barim batok", "#wand(0.7 barim 0.3 batok)"]]
     + [(BM25(k1=2.0, b=0.3), q) for q in ["barim batok balan"]]
 )

@@ -740,6 +740,29 @@ FROM g ORDER BY event_id
         ).orderBy("id_a", "id_b"),
         minhash_lsh_sql(0.8),
     )
+    mh_inner = minhash_lsh_sql(0.8).replace("ORDER BY id_a, id_b", "")
+    r["dedup_clusters"] = (
+        lambda spark, sf: dedup.near_dup_clusters(docs_df(spark, sf), threshold=0.8)
+        .select(
+            F.col("component").cast("long").alias("component"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+        )
+        .orderBy("doc_id"),
+        f"""
+WITH RECURSIVE
+pairs AS (SELECT id_a, id_b FROM ({mh_inner}) __p),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT CAST(least(m.a, m.mn) AS BIGINT) AS component, CAST(m.a AS BIGINT) AS doc_id
+FROM (SELECT a, min(b) AS mn FROM reach GROUP BY a) m
+ORDER BY doc_id
+""",
+    )
+
     r["simhash_values"] = (
         lambda spark, sf: dedup.simhash_values(docs_df(spark, sf)).orderBy("id"),
         simhash_values_sql(),

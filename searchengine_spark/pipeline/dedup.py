@@ -157,6 +157,71 @@ def minhash_lsh_pairs(
     return verified
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(id, component) from an undirected pair list — iterative min-label
+    propagation (the simple alternating form of large-star/small-star).
+
+    Each iteration: every node adopts the minimum label in its closed
+    neighborhood (one groupBy over the symmetrized edge list). Converges
+    in O(diameter) rounds; near-dup components are tiny so this is a
+    handful of cheap shuffles even at corpus scale. The driver only sees
+    one change-count per round.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .unionByName(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "b"), on="b")
+            .groupBy("a")
+            .agg(F.min("component").alias("nmin"))
+            .withColumnRenamed("a", "id")
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="id", how="left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias(
+                    "component"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(component, doc_id) near-duplicate clusters: MinHash-LSH pairs ->
+    connected components; component id = min doc id in the cluster.
+    Singletons (no near-dup) are excluded."""
+    pairs = minhash_lsh_pairs(df, threshold=threshold, id_col=id_col, text_col=text_col)
+    cc = connected_components(pairs)
+    return cc.select(F.col("component"), F.col("id").alias(id_col))
+
+
 SIMHASH_BITS = 32
 
 

@@ -46,6 +46,26 @@ def _idfs(index: InvertedIndex, terms: list[str], field: str) -> dict[str, float
     }
 
 
+def _term_scans(index: InvertedIndex, terms: list[str], field: str):
+    """Union of per-term postings scans so each scan keeps its
+    constant-folded bucket partition filter on a persisted index
+    (a single ``term.isin`` filter cannot prune bucket directories)."""
+    cols = ["term", "doc_id", "tf", "doc_len"]
+    frames = []
+    for t in terms:
+        cond = (F.col("term") == t) & (F.col("field") == field)
+        if index.n_buckets:
+            cond = cond & (
+                F.col("bucket")
+                == F.pmod(F.xxhash64(F.lit(t)), F.lit(index.n_buckets))
+            )
+        frames.append(index.postings.where(cond).select(*cols))
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
 def _idf_col(idfs: dict[str, float]):
     expr = F.lit(0.0)
     for t, v in idfs.items():
@@ -94,9 +114,7 @@ def bm25_topk_pruned(
     block_range = block_range or index.block_range
     avg = index.avg_len(field)
     idfs = _idfs(index, terms, field)
-    base = index.postings.where(
-        (F.col("field") == field) & F.col("term").isin(terms)
-    )
+    base = _term_scans(index, terms, field)
     if index.block_stats is None or avg <= 0:
         return _exact_scores(base, terms, idfs, k1, b, avg or 1.0)
 

@@ -48,11 +48,27 @@ def run(param_file: str, spark=None) -> str:
 
     fb_initial: dict[str, list] = {}
     if cfg.fb and cfg.fb.get("initial_ranking_file"):
+        # Run files carry EXTERNAL ids (urls) — resolve to internal doc
+        # ids via the docs table (QryExpand.java reads the .teIn the same
+        # way and calls Idx.getInternalDocid). Unresolvable numeric ids
+        # fall back to an int parse (synthetic fixtures).
         run_df = read_run_file(spark, cfg.fb["initial_ranking_file"])
-        for r in run_df.collect():
-            fb_initial.setdefault(r["qid"], []).append(
-                (int(r["ext_id"]), float(r["score"]))
-            )
+        # broadcast the (small) run file; the corpus-sized docs table
+        # streams through the broadcast join without shuffling
+        mapped = (
+            F.broadcast(run_df)
+            .join(idx.docs.select("ext_id", F.col("doc_id").alias("__did")), on="ext_id", how="left")
+            .orderBy("qid", "rank")
+        )
+        for r in mapped.collect():
+            if r["__did"] is not None:
+                did = int(r["__did"])
+            else:
+                try:
+                    did = int(r["ext_id"])
+                except ValueError:
+                    continue  # unknown external id: skip (reference logs+skips)
+            fb_initial.setdefault(r["qid"], []).append((did, float(r["score"])))
 
     out_rows = []
     expansion_lines = []

@@ -50,7 +50,11 @@ class SearchEngine:
         """Full (doc_id, score) frame for a query (unranked, untruncated)."""
         m = self._model(model, **params)
         ast = self.parse(query, m)
-        return self.compiler(m).compile(ast)
+        out = self.compiler(m).compile(ast)
+        # derived-operator frames persisted for stats are registered on
+        # index._temps; keep only a bounded working set alive
+        self.index.trim_temps()
+        return out
 
     def search(
         self, query: str, model="bm25", k: int = 100, with_ext_id: bool = True, **params

@@ -388,34 +388,45 @@ SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= {threshold!r} ORDER BY id_a, 
 
 def simhash_values_sql() -> str:
     bit_sums = ", ".join(
-        f"CAST(sum(tf * (2 * CAST((h >> {j}) & 1 AS BIGINT) - 1)) AS BIGINT) AS s{j}"
-        for j in range(dedup.SIMHASH_BITS)
+        f"CAST(sum(tf * (2 * CAST((h_{half} >> {j}) & 1 AS BIGINT) - 1)) AS BIGINT) AS s_{half}_{j}"
+        for half in ("lo", "hi")
+        for j in range(32)
     )
-    sim = " + ".join(
-        f"CASE WHEN s{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END"
-        for j in range(dedup.SIMHASH_BITS)
-    )
+    sims = {
+        half: " + ".join(
+            f"CASE WHEN s_{half}_{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END"
+            for j in range(32)
+        )
+        for half in ("lo", "hi")
+    }
     return f"""
 WITH tok AS (SELECT doc_id, {TOK} AS toks FROM documents),
 tt AS (SELECT doc_id AS id, t AS tok, CAST(count(*) AS BIGINT) AS tf
        FROM (SELECT doc_id, unnest(toks) AS t FROM tok) GROUP BY doc_id, t),
-th AS (SELECT id, tf, CAST(CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT) AS BIGINT) AS h FROM tt),
+th AS (SELECT id, tf,
+       CAST(CAST('0x' || substr(md5('0:' || tok), 1, 8) AS UBIGINT) AS BIGINT) AS h_lo,
+       CAST(CAST('0x' || substr(md5('1:' || tok), 1, 8) AS UBIGINT) AS BIGINT) AS h_hi
+       FROM tt),
 bits AS (SELECT id, {bit_sums} FROM th GROUP BY id)
-SELECT id, CAST({sim} AS BIGINT) AS simhash FROM bits ORDER BY id
+SELECT id, CAST({sims['hi']} AS BIGINT) AS simhash_hi,
+       CAST({sims['lo']} AS BIGINT) AS simhash_lo
+FROM bits ORDER BY id
 """
 
 
 def simhash_pairs_sql(max_hamming: int) -> str:
     values = simhash_values_sql().replace("ORDER BY id", "")
     band_rows = " UNION ALL ".join(
-        f"SELECT id, simhash, {b} AS band, (simhash >> {b * 8}) & 255 AS bkey FROM sv"
+        f"SELECT id, simhash_hi, simhash_lo, {b} AS band, "
+        f"(simhash_{'lo' if b < 2 else 'hi'} >> {(b % 2) * 16}) & 65535 AS bkey FROM sv"
         for b in range(4)
     )
     return f"""
 WITH sv AS ({values}),
 banded AS ({band_rows}),
 p AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b,
-        CAST(bit_count(xor(CAST(x.simhash AS UBIGINT), CAST(y.simhash AS UBIGINT))) AS INT) AS hamming
+        CAST(bit_count(xor(CAST(x.simhash_lo AS UBIGINT), CAST(y.simhash_lo AS UBIGINT)))
+           + bit_count(xor(CAST(x.simhash_hi AS UBIGINT), CAST(y.simhash_hi AS UBIGINT))) AS INT) AS hamming
       FROM banded x JOIN banded y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id)
 SELECT id_a, id_b, hamming FROM p WHERE hamming <= {max_hamming} ORDER BY id_a, id_b
 """

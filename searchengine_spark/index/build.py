@@ -86,6 +86,17 @@ class InvertedIndex:
         self._temps = []
         return n
 
+    def trim_temps(self, max_keep: int = 16) -> None:
+        """Bound the cached-frame registry (derived NEAR/WINDOW frames
+        persisted for stats): unpersist the oldest beyond ``max_keep`` so
+        executor storage stays O(1) in a long-lived query session."""
+        while len(self._temps) > max_keep:
+            fr = self._temps.pop(0)
+            try:
+                fr.unpersist()
+            except Exception:
+                pass
+
     def avg_len(self, fld: str) -> float:
         return self.field_stats[fld]["avg_len"]
 
@@ -296,6 +307,12 @@ def write_index(
             )
             .sortWithinPartitions("term", "field", "doc_id")
             .write.mode("overwrite")
+            # dynamic: only the bucket= directories present in THIS write
+            # are replaced. The default (static) mode truncates the whole
+            # postings dir first — a resume writing 1 todo bucket would
+            # silently delete the other buckets while their manifests
+            # still said ok.
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
             .parquet(os.path.join(path, "postings"))
         )

@@ -246,8 +246,11 @@ def train_and_rerank(
     )
     model = LogisticRegression(featuresCol="features", labelCol="label", maxIter=50).fit(tr)
 
+    from pyspark.ml.functions import vector_to_array
+
     te = model.transform(prep(test_feats))
-    get_p1 = F.udf(lambda v: float(v[1]), DoubleType())
-    scored = te.select("qid", "doc_id", get_p1("probability").alias("score"))
+    scored = te.select(
+        "qid", "doc_id", vector_to_array(F.col("probability"))[1].alias("score")
+    )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

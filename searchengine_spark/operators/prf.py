@@ -96,6 +96,8 @@ _DOC_LEN_CACHE: dict = {}
 def engine_doc_len(idx, doc_id: int, field: str) -> float:
     """Driver-side doc length lookup for the (tiny) feedback doc set."""
     key = (id(idx), doc_id, field)
+    if len(_DOC_LEN_CACHE) > 100_000:  # bound driver memory in long sessions
+        _DOC_LEN_CACHE.clear()
     if key not in _DOC_LEN_CACHE:
         row = (
             idx.doc_stats.where(

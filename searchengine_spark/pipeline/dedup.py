@@ -179,32 +179,36 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("component", F.col("id"))
         .persist()
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("id", "b"), on="b")
             .groupBy("a")
             .agg(F.min("component").alias("nmin"))
             .withColumnRenamed("a", "id")
         )
-        new_labels = (
-            labels.join(neighbor_min, on="id", how="left")
-            .select(
-                "id",
-                F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias(
-                    "component"
-                ),
-            )
-            .persist()
+        new_labels = labels.join(neighbor_min, on="id", how="left").select(
+            "id",
+            F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias(
+                "component"
+            ),
         )
+        # truncate lineage every few rounds (localCheckpoint materializes),
+        # otherwise the plan grows one join per iteration
+        if (it + 1) % 4 == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), on="id")
             .where(F.col("n.component") != F.col("o.component"))
             .count()
         )
+        labels.unpersist()  # executor storage stays O(1) across rounds
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
     return labels
 
 
@@ -222,34 +226,52 @@ def near_dup_clusters(
     return cc.select(F.col("component"), F.col("id").alias(id_col))
 
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64  # two 32-bit halves (signed-overflow-safe everywhere)
+_HALF = 32
+SIMHASH_BAND_BITS = 16  # 4 bands x 16 bits -> 2^16 bucket keys per band
 
 
 def simhash_values(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, simhash) — 32-bit tf-weighted SimHash from md5 token hashes.
+    """(id, simhash_hi, simhash_lo) — 64-bit tf-weighted SimHash.
 
-    One explode + one partial/final aggregation; the 32 per-bit sums
-    are plain conditional aggregates (all codegen, no UDF).
+    The 64-bit signature is built as two salted 32-bit md5 halves so
+    every value stays < 2^32 (no signed-long overflow in Spark, DuckDB,
+    or parquet). One explode + one partial/final aggregation; the 64
+    per-bit sums are plain conditional aggregates (all codegen, no UDF).
+
+    32 bits banded into 8-bit keys caps LSH at 256 buckets/band — a
+    quadratic self-join at web scale; 64 bits with 16-bit bands keeps
+    the pigeonhole guarantee for hamming<=3 with 65536x more buckets.
     """
     toks = (
         df.select(F.col(id_col).cast("long").alias("id"), tokens(text_col).alias("__toks"))
         .select("id", F.explode("__toks").alias("tok"))
         .groupBy("id", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .withColumn("h", hash32(F.col("tok")))
+        .withColumn("h_lo", hash32(F.concat(F.lit("0:"), F.col("tok"))))
+        .withColumn("h_hi", hash32(F.concat(F.lit("1:"), F.col("tok"))))
     )
-    bit_sums = [
-        F.sum(
-            F.col("tf")
-            * (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
-        ).alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
-    ]
+    bit_sums = []
+    for half in ("lo", "hi"):
+        for j in range(_HALF):
+            bit_sums.append(
+                F.sum(
+                    F.col("tf")
+                    * (F.shiftright(F.col(f"h_{half}"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+                ).alias(f"s_{half}_{j}")
+            )
     agg = toks.groupBy("id").agg(*bit_sums)
-    sim = F.lit(0).cast("long")
-    for j in range(SIMHASH_BITS):
-        sim = sim + F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0))
-    return agg.select("id", sim.alias("simhash"))
+    halves = {}
+    for half in ("lo", "hi"):
+        sim = F.lit(0).cast("long")
+        for j in range(_HALF):
+            sim = sim + F.when(
+                F.col(f"s_{half}_{j}") > 0, F.lit(2**j).cast("long")
+            ).otherwise(F.lit(0))
+        halves[half] = sim
+    return agg.select(
+        "id", halves["hi"].alias("simhash_hi"), halves["lo"].alias("simhash_lo")
+    )
 
 
 def simhash_pairs(
@@ -260,19 +282,24 @@ def simhash_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs by SimHash banding + hamming verify.
 
-    The 32-bit signature splits into 4 bytes; pairs agreeing on any
-    byte-band are candidates (pigeonhole: any pair within hamming<=3
-    shares at least one exact byte), verified with bit_count(xor).
+    The 64-bit signature splits into 4 disjoint 16-bit bands; pairs
+    agreeing on any band are candidates (pigeonhole: hamming<=3 over 4
+    disjoint groups leaves >=1 group identical), verified with
+    bit_count(xor) over both halves. 2^16 keys per band keeps bucket
+    sizes ~N/65536 — the self-join stays near-linear at corpus scale.
     """
     sig = simhash_values(df, id_col, text_col).persist()
     bands = []
     for b in range(4):
+        half = "simhash_lo" if b < 2 else "simhash_hi"
+        shift = (b % 2) * SIMHASH_BAND_BITS
         bands.append(
             sig.select(
                 "id",
-                "simhash",
+                "simhash_hi",
+                "simhash_lo",
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(255)).alias("bkey"),
+                F.shiftright(F.col(half), shift).bitwiseAND(F.lit(65535)).alias("bkey"),
             )
         )
     banded = bands[0]
@@ -285,8 +312,9 @@ def simhash_pairs(
         .select(
             F.col("x.id").alias("id_a"),
             F.col("y.id").alias("id_b"),
-            F.bit_count(
-                F.expr("x.simhash ^ y.simhash")
+            (
+                F.bit_count(F.expr("x.simhash_lo ^ y.simhash_lo"))
+                + F.bit_count(F.expr("x.simhash_hi ^ y.simhash_hi"))
             ).alias("hamming"),
         )
         .distinct()

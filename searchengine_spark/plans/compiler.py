@@ -60,12 +60,18 @@ class IopResult:
     field: str
     _stats: tuple | None = None  # (df, ctf)
     _persisted: bool = False
+    # shared registry (index._temps): persisted derived frames are
+    # tracked there so long-lived sessions can trim them — otherwise
+    # executor storage grows by one cached NEAR/WINDOW frame per query
+    _temps: list | None = None
 
     def stats(self) -> tuple[int, int]:
         if self._stats is None:
             if not self._persisted:
                 self.frame = self.frame.persist()
                 self._persisted = True
+                if self._temps is not None:
+                    self._temps.append(self.frame)
             row = self.frame.agg(
                 F.count(F.lit(1)).alias("df"), F.sum("tf").alias("ctf")
             ).first()
@@ -147,7 +153,7 @@ class Compiler:
                 "doc_id", "tf", "doc_len", "positions"
             )
             st = self.term_stats.get((node.term, node.field))
-            return IopResult(fr, node.field, _stats=st)
+            return IopResult(fr, node.field, _stats=st, _temps=self.index._temps)
 
         children = [self.compile_iop(a) for a in node.args]
         if node.op == "syn":
@@ -163,7 +169,7 @@ class Compiler:
                 )
                 .select("doc_id", "tf", "doc_len", "positions")
             )
-            return IopResult(fr, node.field)
+            return IopResult(fr, node.field, _temps=self.index._temps)
 
         # near / window: k-way inner join on doc_id + positional merge
         k = len(children)
@@ -187,7 +193,7 @@ class Compiler:
                 F.col("__m.positions").alias("positions"),
             )
         )
-        return IopResult(fr, node.field)
+        return IopResult(fr, node.field, _temps=self.index._temps)
 
     # ------------------------------------------------------------------
     # Sop compilation
@@ -278,15 +284,32 @@ class Compiler:
         return ScoreResult(joined.select(*out_cols), all_fields, default_fn)
 
     def _sum_by_aggregation(self, node: SopNode) -> ScoreResult:
-        """union of per-term leaf scores -> groupBy(doc_id).sum — the
-        classic one-shuffle BM25 term-at-a-time aggregation."""
+        """union of per-term leaf scores -> one groupBy(doc_id) — the
+        classic one-shuffle BM25 term-at-a-time aggregation.
+
+        The per-doc sum folds the collected (term_index, score) pairs in
+        ascending term order, NOT in arrival order: a plain ``sum`` would
+        accumulate in shuffle-dependent order, making %.18f run files
+        differ across runs/parallelism. Folding in argument order is
+        bit-identical to the k-way-join path (interleaved ``+ 0.0`` for
+        missing terms is exact in IEEE), so both strategies and the SQL
+        oracle agree to the last ulp."""
         frames = []
-        for a in node.args:
-            frames.append(self._leaf(a).frame)
+        for i, a in enumerate(node.args):
+            frames.append(
+                self._leaf(a).frame.select(
+                    "doc_id", F.lit(i).alias("__ti"), F.col("score")
+                )
+            )
         u = frames[0]
         for fr in frames[1:]:
             u = u.unionByName(fr)
-        out = u.groupBy("doc_id").agg(F.sum("score").alias("score"))
+        out = u.groupBy("doc_id").agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(__ti, score))), "
+                "cast(0.0 as double), (acc, x) -> acc + x.score)"
+            ).alias("score")
+        )
         return ScoreResult(out, frozenset(a.args[0].field for a in node.args))
 
     # -- score expressions ---------------------------------------------

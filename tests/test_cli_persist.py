@@ -40,6 +40,38 @@ def test_write_resume_skips_done_buckets(spark, persisted):
     assert rec["status"] == "ok" and rec["bytes"] > 0
 
 
+def test_partial_resume_preserves_other_buckets(spark, persisted):
+    """Deleting one bucket's manifest and resuming must rewrite ONLY that
+    bucket — the other buckets' parquet files must survive (dynamic
+    partition overwrite; static mode truncated the whole postings dir)."""
+    path, first = persisted
+
+    def bucket_files(b):
+        d = os.path.join(path, "postings", f"bucket={b}")
+        return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+    before = {b: bucket_files(b) for b in range(4)}
+    assert all(before.values())
+    os.remove(os.path.join(path, "_manifest", "bucket-00002.json"))
+
+    # resume from a rebuilt index (same deterministic source), as a
+    # restarted job would — not from the path being overwritten
+    docs = assign_doc_ids(extract_fields(make_pages(spark, 120, seed=3)), ext_id_col="url")
+    idx = build_index(
+        docs, fields={"body": "body", "title": "title"}, ext_id_col="url",
+        analyzer="english",
+    )
+    res = write_index(idx, path, buckets=4, fingerprint=first["fingerprint"])
+    assert res["written"] == [2] and res["skipped"] == [0, 1, 3]
+    for b in (0, 1, 3):
+        assert bucket_files(b) == before[b], f"bucket {b} clobbered by resume"
+    assert bucket_files(2)  # rewritten
+    # the index still serves terms from every bucket
+    total = read_index(spark, path).postings.count()
+    idx2 = read_index(spark, path)
+    assert total > 0 and idx2.term_stats.count() > 0
+
+
 def test_read_index_roundtrip_queries(spark, persisted):
     path, _ = persisted
     idx = read_index(spark, path)
@@ -77,6 +109,39 @@ def test_cli_end_to_end(spark, persisted, tmp_path):
     assert any(line.startswith("3 Q0 dummy 1") for line in lines)  # empty query
     parts = lines[0].split()
     assert parts[1] == "Q0" and parts[3] == "1" and len(parts) == 6
+
+
+def test_cli_fb_initial_ranking_file_with_url_ext_ids(spark, persisted, tmp_path):
+    """fbInitialRankingFile rows carry URL external ids (as produced by
+    this CLI); they must resolve to internal doc ids via the docs table,
+    not int(ext_id)."""
+    path, _ = persisted
+    qf = tmp_path / "q.qry"
+    qf.write_text("9: cerim dirim\n")
+    # produce a genuine run file (URL ext ids) with a plain BM25 pass
+    run1 = tmp_path / "initial.teIn"
+    pf1 = tmp_path / "first.param"
+    pf1.write_text(
+        f"indexPath={path}\nqueryFilePath={qf}\ntrecEvalOutputPath={run1}\n"
+        "retrievalAlgorithm=bm25\ntrecEvalOutputLength=10\n"
+    )
+    cli.run(str(pf1), spark=spark)
+    assert "http://" in run1.read_text()
+
+    out = tmp_path / "fb.teIn"
+    exp = tmp_path / "fb_exp.qry"
+    pf2 = tmp_path / "second.param"
+    pf2.write_text(
+        f"indexPath={path}\nqueryFilePath={qf}\ntrecEvalOutputPath={out}\n"
+        "retrievalAlgorithm=indri\nIndri:mu=1500\nIndri:lambda=0.4\n"
+        "fb=indri\nfbDocs=5\nfbTerms=5\nfbMu=0\nfbOrigWeight=0.5\n"
+        f"fbInitialRankingFile={run1}\nfbExpansionQueryFile={exp}\n"
+        "trecEvalOutputLength=10\n"
+    )
+    cli.run(str(pf2), spark=spark)
+    lines = out.read_text().strip().splitlines()
+    assert lines and lines[0].startswith("9 Q0 http://")
+    assert exp.read_text().startswith("9: #wand(")
 
 
 def test_cli_with_expansion_and_diversity(spark, persisted, tmp_path):

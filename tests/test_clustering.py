@@ -53,3 +53,37 @@ def test_near_dup_clusters_end_to_end(spark):
     for c, members in comps.items():
         assert c == min(members)
         assert len(members) >= 2
+
+
+def test_simhash_banding_matches_bruteforce(spark):
+    """4x16-bit banding must find EXACTLY the hamming<=3 pairs a full
+    cross product finds (pigeonhole over 4 disjoint 16-bit groups), and
+    the band keyspace must be 16-bit (not the old 8-bit ceiling)."""
+    docs = spark.range(80).selectExpr(
+        "id AS doc_id",
+        # clusters of 4 share a base text with tiny per-doc noise
+        "concat('alpha beta gamma delta epsilon zeta eta theta doc ', "
+        "cast(id DIV 4 as string), ' tail ', cast(id % 4 as string)) AS text",
+    )
+    sig = {
+        int(r["id"]): (int(r["simhash_hi"]), int(r["simhash_lo"]))
+        for r in dedup.simhash_values(docs).collect()
+    }
+    assert all(0 <= hi < 2**32 and 0 <= lo < 2**32 for hi, lo in sig.values())
+    assert any(hi >> 16 for hi, _ in sig.values())  # all 64 bits in use
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    ids = sorted(sig)
+    expected = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if ham(sig[a], sig[b]) <= 3
+    }
+    got = {
+        (int(r["id_a"]), int(r["id_b"]))
+        for r in dedup.simhash_pairs(docs, max_hamming=3).collect()
+    }
+    assert got == expected and expected  # non-vacuous: some pairs exist

@@ -109,3 +109,39 @@ def test_streaming_ingest_and_resume(spark, stream_dirs):
     live3 = ingest.read_live_postings(spark, stream_dirs["idx"])
     assert live3.select("doc_id").distinct().count() == 60
     assert live3.where(F.col("term") == "barim").count() > 0
+
+
+def test_compact_persisted_layout_rebuilds_side_tables(spark, stream_dirs, tmp_path):
+    """Compacting a write_index layout must re-bucket the merged postings
+    and refresh term_stats/doc_stats/meta.json so read_index serves the
+    delta docs (previously it dropped the bucket column and left stale
+    stats — AnalysisException + wrong df/ctf)."""
+    from searchengine_spark.corpus import extract_fields, make_pages
+    from searchengine_spark.index.build import assign_doc_ids, build_index, read_index, write_index
+
+    base_docs = assign_doc_ids(extract_fields(make_pages(spark, 40, seed=9)), ext_id_col="url")
+    idx0 = build_index(base_docs, fields={"body": "body"}, ext_id_col="url", analyzer="english")
+    write_index(idx0, stream_dirs["idx"], buckets=4)
+    old_n = idx0.n_docs
+    old_sum = idx0.field_stats["body"]["sum_len"]
+
+    _write_pages(spark, stream_dirs["in"], 5000, 25)
+    q = ingest.start_ingest(spark, stream_dirs["in"], stream_dirs["idx"], stream_dirs["ckpt"])
+    q.awaitTermination(120)
+
+    ingest.compact(spark, stream_dirs["idx"])
+    idx = read_index(spark, stream_dirs["idx"])
+    # bucket column survives -> pruned term scans still work
+    assert idx.n_buckets == 4 and "bucket" in idx.postings.columns
+    assert idx.postings.select("doc_id").distinct().count() == 65
+    # stats include delta docs
+    assert idx.n_docs == 65
+    assert idx.field_stats["body"]["sum_len"] > old_sum and old_n == 40
+    # a pruned engine query over base+delta docs
+    from searchengine_spark.engine import SearchEngine
+
+    eng = SearchEngine(idx)
+    rows = eng.search("barim batok", model="bm25", k=70).collect()
+    assert rows and any(int(r["doc_id"]) >= 5000 for r in rows)
+    # delta docs resolve real ext ids (delta_docs segment)
+    assert all(r["ext_id"].startswith("http://") for r in rows)

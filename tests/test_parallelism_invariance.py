@@ -23,8 +23,12 @@ idx = build_index(docs, fields={{"body": "body"}}, ext_id_col="url", analyzer="e
 eng = SearchEngine(idx)
 qs = [("p1", "cerim dirim"), ("p2", "#near/2(barim batok)"), ("p3", "#wand(0.7 cerim 0.3 batok)")]
 rows = eng.run_batch(qs, model="indri", k=10, mu=1500.0, lam=0.3).collect()
+# 6-term BM25 exercises the union+agg physical path (threshold 4), which
+# must stay %.18f-reproducible across parallelism (term-order fold)
+qb = [("p4", "barim batok balan cerim cetok dirim")]
+rows += eng.run_batch(qb, model="bm25", k=10).collect()
 write_run_file([(r["qid"], r["ext_id"], r["rank"], r["score"]) for r in rows],
-               {out!r}, all_qids=[q for q, _ in qs])
+               {out!r}, all_qids=[q for q, _ in qs + qb])
 """
 
 

@@ -374,14 +374,17 @@ def minhash_lsh_sql(threshold: float, n_hashes: int = 8, n_bands: int = 4) -> st
     return f"""
 WITH tok AS (SELECT doc_id, {TOK} AS toks FROM documents),
 sh AS (SELECT doc_id AS id, {SHINGLES} AS s FROM tok WHERE len(toks) >= 3),
+shh AS (SELECT id,
+          [CAST(CAST('0x' || substr(md5(s2), 1, 15) AS UBIGINT) AS BIGINT) FOR s2 IN s] AS hh
+        FROM sh),
 sig AS (SELECT id, s, {mh_cols} FROM sh),
 banded AS ({bands_sql}),
 cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
          FROM banded x JOIN banded y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id),
 v AS (SELECT c.id_a, c.id_b,
-        CAST(round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-          / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE), 6) AS DOUBLE) AS jaccard
-      FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b)
+        CAST(round(CAST(len(list_intersect(a.hh, b.hh)) AS DOUBLE)
+          / CAST(len(a.hh) + len(b.hh) - len(list_intersect(a.hh, b.hh)) AS DOUBLE), 6) AS DOUBLE) AS jaccard
+      FROM cand c JOIN shh a ON a.id = c.id_a JOIN shh b ON b.id = c.id_b)
 SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= {threshold!r} ORDER BY id_a, id_b
 """
 
@@ -449,6 +452,489 @@ SELECT query_id, vec_id, cos, rank FROM (
          CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
   FROM p) __r
 WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+# -- PRF end-to-end oracle ---------------------------------------------------
+
+
+def prf_end_to_end_sql(
+    anchors: list[str], k: int, fb_docs: int = 10, fb_terms: int = 5,
+    fb_mu: float = 500.0, w_orig: float = 0.5,
+    mu: float = 1500.0, lam: float = 0.3,
+) -> str:
+    """Full Entry-point-2 loop (QryExpand.java:68-147): Indri initial
+    ranking -> candidate-term scores -> top fb_terms with %.4f weights ->
+    rewritten ``#wand(w #and(orig) 1-w #wand(w1 t1 ...))`` -> final
+    Indri ranking. The expansion terms/weights are data-dependent, so the
+    oracle computes them in-SQL and scores the rewritten query over a
+    doc x expansion-term grid with Indri default-score semantics."""
+    init_sql = indri_sql(anchors, "and", fb_docs, mu, lam)
+    anc = ", ".join(f"'{t}'" for t in anchors)
+    omw = 1.0 - lam
+
+    def eff(tf_expr: str, ctf: str, present_guard: str) -> str:
+        # present: tf real; absent: tf=0 with ctf<1 -> 0.5 (getDefaultScore)
+        p = f"({ctf} / st.sum_len)"
+        p_def = f"((CASE WHEN {ctf} < 1.0 THEN 0.5 ELSE {ctf} END) / st.sum_len)"
+        dld = "CAST(dl.doc_len AS DOUBLE)"
+        return (
+            f"CASE WHEN {present_guard} THEN "
+            f"{omw!r} * (CAST({tf_expr} AS DOUBLE) + {mu!r} * {p}) / ({dld} + {mu!r}) + {lam!r} * {p} "
+            f"ELSE {omw!r} * (0.0 + {mu!r} * {p_def}) / ({dld} + {mu!r}) + {lam!r} * {p_def} END"
+        )
+
+    e_anchor = [
+        eff(f"COALESCE(apv.tf{i}, 0)", f"ac.ctf{i}", f"apv.tf{i} IS NOT NULL")
+        for i in range(len(anchors))
+    ]
+    and_prod = " * ".join(f"({e})" for e in e_anchor)
+    ac_cols = ", ".join(
+        f"(SELECT CAST(COALESCE(sum(CASE WHEN t = '{t}' THEN 1 END), 0) AS DOUBLE) FROM allt) AS ctf{i}"
+        for i, t in enumerate(anchors)
+    )
+    apv_cols = ", ".join(
+        f"max(CASE WHEN term = '{t}' THEN tf END) AS tf{i}" for i, t in enumerate(anchors)
+    )
+    gp_cols = ", ".join(
+        f"max(CASE WHEN rnk = {j} THEN e END) AS e{j}, "
+        f"max(CASE WHEN rnk = {j} THEN w END) AS w{j}"
+        for j in range(1, fb_terms + 1)
+    )
+    total = " + ".join(f"gp.w{j}" for j in range(1, fb_terms + 1))
+    exp_prod = " * ".join(
+        f"pow(gp.e{j}, gp.w{j} / ({total}))" for j in range(1, fb_terms + 1)
+    )
+    inner = f"""
+WITH {BASE_CTES},
+init AS (SELECT doc_id, score FROM ({init_sql}) __i),
+allt AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+ctall AS (SELECT t AS term, CAST(count(*) AS DOUBLE) AS ctf FROM allt GROUP BY t),
+s0 AS (SELECT sum(i.score / (d.doc_len + {fb_mu!r})) AS v
+       FROM init i JOIN dl d USING (doc_id)),
+toptf AS (SELECT a.doc_id, a.t, CAST(count(*) AS DOUBLE) AS tf
+          FROM allt a JOIN init USING (doc_id) GROUP BY a.doc_id, a.t),
+pres AS (SELECT tt.t, sum(tt.tf / (d.doc_len + {fb_mu!r}) * i.score) AS present
+         FROM toptf tt JOIN dl d USING (doc_id) JOIN init i USING (doc_id)
+         GROUP BY tt.t),
+fb AS (SELECT p.t AS term,
+         ln(st.sum_len / ct.ctf) * (p.present + {fb_mu!r} * ct.ctf / st.sum_len * s0.v) AS fbs
+       FROM pres p JOIN ctall ct ON ct.term = p.t CROSS JOIN st CROSS JOIN s0),
+fbtop AS (SELECT term, CAST(round(fbs, 4) AS DOUBLE) AS w,
+                 CAST(row_number() OVER (ORDER BY fbs DESC, term) AS INT) AS rnk
+          FROM fb QUALIFY rnk <= {fb_terms}),
+tfq AS (SELECT a.doc_id, a.t AS term, CAST(count(*) AS BIGINT) AS tf
+        FROM allt a
+        WHERE a.t IN ({anc}) OR a.t IN (SELECT term FROM fbtop)
+        GROUP BY a.doc_id, a.t),
+matchdocs AS (SELECT DISTINCT doc_id FROM tfq),
+ac AS (SELECT {ac_cols}),
+apv AS (SELECT doc_id, {apv_cols} FROM tfq WHERE term IN ({anc}) GROUP BY doc_id),
+eand AS (SELECT m.doc_id, pow({and_prod}, {1.0 / len(anchors)!r}) AS e_and
+         FROM matchdocs m
+         JOIN dl ON dl.doc_id = m.doc_id
+         LEFT JOIN apv ON apv.doc_id = m.doc_id
+         CROSS JOIN st CROSS JOIN ac),
+grid AS (SELECT m.doc_id, f.term, f.w, f.rnk FROM matchdocs m CROSS JOIN fbtop f),
+geff AS (SELECT g.doc_id, g.rnk, g.w,
+           {eff("t.tf", "c.ctf", "t.tf IS NOT NULL")} AS e
+         FROM grid g
+         JOIN dl ON dl.doc_id = g.doc_id
+         LEFT JOIN tfq t ON t.doc_id = g.doc_id AND t.term = g.term
+         JOIN ctall c ON c.term = g.term
+         CROSS JOIN st),
+gp AS (SELECT doc_id, {gp_cols} FROM geff GROUP BY doc_id)
+SELECT e.doc_id,
+       CAST(round(pow(e.e_and, {w_orig!r} / 1.0) * pow({exp_prod}, {1.0 - w_orig!r} / 1.0), 6) AS DOUBLE) AS score
+FROM eand e JOIN gp ON gp.doc_id = e.doc_id
+"""
+    return _rank_wrap(inner, k)
+
+
+# -- LeToR 18-feature oracle -------------------------------------------------
+
+
+def letor_features_sql(
+    terms: list[str], k: int = 20, qid: str = "q1",
+    k1: float = 1.2, b: float = 0.75, mu: float = 2500.0, lam: float = 0.4,
+) -> str:
+    """Plain-SQL twin of operators.letor.featurize for a single-field
+    ('body') gate index: f2/f3 from the ext id, f5/f6/f7 BM25/Indri/
+    overlap over body, f18 position-stddev (+0.1 smoothing,
+    RetrievalModelLeToR.posStd); every other feature is NULL (absent
+    field/attribute — the Double.MIN_VALUE sentinel path)."""
+    cand_sql = bm25_sum_sql(terms, k)
+    nt = len(terms)
+    kinv = 1.0 / nt
+    tl = ", ".join(f"'{t}'" for t in terms)
+
+    ss_cols = ", ".join(
+        f"(SELECT CAST(count(*) AS DOUBLE) FROM tf WHERE term = '{t}') AS df{i}, "
+        f"(SELECT CAST(COALESCE(sum(tf), 0) AS DOUBLE) FROM tf WHERE term = '{t}') AS ctf{i}"
+        for i, t in enumerate(terms)
+    )
+
+    f5_terms, e_terms, ov_terms, found = [], [], [], []
+    for i in range(nt):
+        idf = f"greatest(0.0, ln((st.n_docs - ss.df{i} + 0.5) / (ss.df{i} + 0.5)))"
+        tfd = f"CAST(pv.tf{i} AS DOUBLE)"
+        f5_terms.append(
+            f"CASE WHEN pv.tf{i} IS NOT NULL THEN {idf} * {tfd} "
+            f"/ ({tfd} + {k1!r} * ({1.0 - b!r} + {b!r} * CAST(dl.doc_len AS DOUBLE) / (st.sum_len / st.doc_count))) "
+            f"ELSE 0.0 END"
+        )
+        p_i = f"(CASE WHEN ss.ctf{i} >= 1.0 THEN ss.ctf{i} ELSE 0.5 END / st.sum_len)"
+        e_terms.append(
+            f"pow({1.0 - lam!r} * (COALESCE({tfd}, 0.0) + {mu!r} * {p_i}) "
+            f"/ (CAST(dl.doc_len AS DOUBLE) + {mu!r}) + {lam!r} * {p_i}, {kinv!r})"
+        )
+        ov_terms.append(f"(CASE WHEN pv.tf{i} IS NOT NULL THEN 1 ELSE 0 END)")
+        found.append(f"pv.tf{i} IS NOT NULL")
+    f5 = "0.0 + " + " + ".join(f5_terms)
+    f6 = (
+        f"CASE WHEN {' OR '.join(found)} THEN 1.0 * "
+        + " * ".join(e_terms)
+        + " ELSE 0.0 END"
+    )
+    f7 = f"CAST({' + '.join(ov_terms)} AS DOUBLE) / {float(nt)!r}"
+    ext = "CAST(f.doc_id AS VARCHAR)"
+    null = "CAST(-1.0 AS DOUBLE)"  # absent-feature sentinel (matches gate fn)
+    nulls_mid = ", ".join(f"{null} AS f{i}" for i in range(8, 17))
+    return f"""
+WITH {BASE_CTES}, {_tf_cte(terms)}, {_pivot_tf(terms)},
+cand AS (SELECT doc_id FROM ({cand_sql}) __c),
+ss AS (SELECT {ss_cols}),
+p18m AS (SELECT pos.doc_id, CAST(count(*) AS DOUBLE) + 0.1 AS n18,
+                CAST(sum(p) AS DOUBLE) AS sp
+         FROM pos JOIN cand USING (doc_id) WHERE t IN ({tl}) GROUP BY pos.doc_id),
+p18 AS (SELECT pos.doc_id,
+          sqrt(sum((CAST(p AS DOUBLE) - m.sp / m.n18) * (CAST(p AS DOUBLE) - m.sp / m.n18)) / m.n18) AS f18
+        FROM pos JOIN cand USING (doc_id) JOIN p18m m ON m.doc_id = pos.doc_id
+        WHERE t IN ({tl}) GROUP BY pos.doc_id, m.sp, m.n18),
+f AS (SELECT c.doc_id,
+        CASE WHEN dl.doc_len > 0 THEN {f5} ELSE NULL END AS f5,
+        CASE WHEN dl.doc_len > 0 THEN {f6} ELSE NULL END AS f6,
+        CASE WHEN dl.doc_len > 0 THEN {f7} ELSE NULL END AS f7
+      FROM cand c JOIN dl ON dl.doc_id = c.doc_id
+      LEFT JOIN pv ON pv.doc_id = c.doc_id
+      CROSS JOIN st CROSS JOIN ss)
+SELECT '{qid}' AS qid, f.doc_id,
+  {null} AS f1,
+  CAST(length({ext}) - length(replace({ext}, '/', '')) AS DOUBLE) AS f2,
+  CASE WHEN contains({ext}, 'wikipedia.org') THEN 1.0 ELSE 0.0 END AS f3,
+  {null} AS f4,
+  CAST(COALESCE(round(f.f5, 6), -1.0) AS DOUBLE) AS f5,
+  CAST(COALESCE(round(f.f6, 6), -1.0) AS DOUBLE) AS f6,
+  CAST(COALESCE(round(f.f7, 6), -1.0) AS DOUBLE) AS f7,
+  {nulls_mid},
+  {null} AS f17,
+  CAST(COALESCE(round(p18.f18, 6), -1.0) AS DOUBLE) AS f18
+FROM f LEFT JOIN p18 ON p18.doc_id = f.doc_id
+ORDER BY f.doc_id
+"""
+
+
+# -- diversity (xQuAD / PM2) oracles ----------------------------------------
+
+
+def _diversity_cand_ctes(
+    main_terms: list[str], intent_terms: list[str],
+    max_input: int, k1: float = 1.2, b: float = 0.75,
+) -> str:
+    """CTE block ending in ``cand(doc_id, opos, mn, cov1, cov2)`` — the
+    normalized candidate table of QryDiversity.getDocidToScore: orthodox
+    docs = top max_input of the main BM25 ranking (round-6 scores,
+    doc_id tie-break), per-intent scores restricted to the candidates,
+    everything divided by the scale base (max of the per-ranking
+    left-to-right top sums, floored at 1.0)."""
+    dn = f"(st.sum_len / st.doc_count)"
+    bm_denom = f"{k1!r} * ({1.0 - b!r} + {b!r} * CAST(dl.doc_len AS DOUBLE) / {dn})"
+
+    # main: multi-term #SUM (missing-term contributions are +0.0)
+    main_scores = []
+    for i, t in enumerate(main_terms):
+        idf = (
+            f"(SELECT greatest(0.0, ln((st.n_docs - d.df + 0.5) / (d.df + 0.5))) "
+            f"FROM (SELECT CAST(count(*) AS DOUBLE) AS df FROM tf WHERE term = '{t}') d)"
+        )
+        tfd = f"CAST(pv.tf{i} AS DOUBLE)"
+        main_scores.append(
+            f"COALESCE({idf} * {tfd} / ({tfd} + {bm_denom}), 0.0)"
+        )
+    sm = (
+        f"sm AS (SELECT pv.doc_id, CAST(round({' + '.join(main_scores)}, 6) AS DOUBLE) AS score "
+        f"FROM pv JOIN dl USING (doc_id) CROSS JOIN st)"
+    )
+
+    intent_ctes = []
+    for j, t in enumerate(intent_terms, start=1):
+        intent_ctes.append(
+            f"tfi{j} AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tf "
+            f"FROM (SELECT doc_id, unnest(toks) AS t FROM tok) WHERE t = '{t}' GROUP BY doc_id), "
+            f"si{j} AS (SELECT x.doc_id, CAST(round("
+            f"(SELECT greatest(0.0, ln((st.n_docs - d.df + 0.5) / (d.df + 0.5))) "
+            f"FROM (SELECT CAST(count(*) AS DOUBLE) AS df FROM tfi{j}) d) "
+            f"* CAST(x.tf AS DOUBLE) / (CAST(x.tf AS DOUBLE) + {bm_denom}), 6) AS DOUBLE) AS score "
+            f"FROM tfi{j} x JOIN dl ON dl.doc_id = x.doc_id CROSS JOIN st)"
+        )
+
+    fold = "(x, y) -> x + y"
+    return f"""{sm},
+{', '.join(intent_ctes)},
+orth AS (SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS opos
+         FROM sm QUALIFY opos <= {max_input}),
+i1top AS (SELECT doc_id, score FROM si1 ORDER BY score DESC, doc_id LIMIT {max_input}),
+i2top AS (SELECT doc_id, score FROM si2 ORDER BY score DESC, doc_id LIMIT {max_input}),
+base AS (SELECT greatest(
+  (SELECT COALESCE(list_reduce(list(score ORDER BY score DESC, doc_id), {fold}), 0.0) FROM orth),
+  (SELECT COALESCE(list_reduce(list(i.score ORDER BY i.score DESC, i.doc_id), {fold}), 0.0)
+     FROM i1top i JOIN orth USING (doc_id)),
+  (SELECT COALESCE(list_reduce(list(i.score ORDER BY i.score DESC, i.doc_id), {fold}), 0.0)
+     FROM i2top i JOIN orth USING (doc_id)),
+  1.0) AS b),
+cand AS (SELECT o.doc_id, o.opos, o.score / base.b AS mn,
+           COALESCE(i1.score / base.b, 0.0) AS cov1,
+           COALESCE(i2.score / base.b, 0.0) AS cov2
+         FROM orth o
+         LEFT JOIN i1top i1 ON i1.doc_id = o.doc_id
+         LEFT JOIN i2top i2 ON i2.doc_id = o.doc_id
+         CROSS JOIN base)"""
+
+
+def xquad_sql(
+    main_terms: list[str], intent_terms: list[str], qid: str = "q1",
+    lam: float = 0.5, max_input: int = 50, max_result: int = 20,
+) -> str:
+    """Greedy xQuAD (QryDiversity.java:159-187) as a recursive CTE: one
+    row selected per step (strictly-greater argmax -> earliest orthodox
+    position wins ties), per-intent 'already covered' products carried
+    as recursion state."""
+    w_main = 1.0 - lam
+    w_int = lam / len(intent_terms)
+    sc = (
+        f"({w_main!r} * c.mn + (({w_int!r} * c.cov1) * s.a1)) "
+        f"+ (({w_int!r} * c.cov2) * s.a2)"
+    )
+    return f"""
+WITH RECURSIVE {BASE_CTES}, {_tf_cte(main_terms)}, {_pivot_tf(main_terms)},
+{_diversity_cand_ctes(main_terms, intent_terms, max_input)},
+sel AS (
+  SELECT 0 AS step, CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score,
+         CAST(1.0 AS DOUBLE) AS a1, CAST(1.0 AS DOUBLE) AS a2,
+         CAST([] AS BIGINT[]) AS chosen
+  UNION ALL
+  SELECT s.step + 1, c.doc_id, {sc},
+         s.a1 * (1.0 - c.cov1), s.a2 * (1.0 - c.cov2),
+         list_append(s.chosen, c.doc_id)
+  FROM sel s JOIN cand c ON NOT list_contains(s.chosen, c.doc_id)
+  WHERE s.step < {max_result}
+  QUALIFY row_number() OVER (PARTITION BY s.step ORDER BY {sc} DESC, c.opos) = 1
+)
+SELECT '{qid}' AS qid, doc_id, CAST(round(score, 6) AS DOUBLE) AS score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+FROM sel WHERE step > 0 ORDER BY rank
+"""
+
+
+def pm2_sql(
+    main_terms: list[str], intent_terms: list[str], qid: str = "q1",
+    lam: float = 0.5, max_input: int = 50, max_result: int = 20,
+) -> str:
+    """Greedy PM2 (QryDiversity.java:189-249) as a recursive CTE: the
+    per-intent quotient slots s_i are recursion state; ties in the
+    quotient argmax go to the first intent (sorted order), doc ties to
+    the earliest orthodox position."""
+    v = max_result / len(intent_terms)
+    q1 = f"({v!r} / (2.0 * s.s1 + 1.0))"
+    q2 = f"({v!r} / (2.0 * s.s2 + 1.0))"
+    w, wn = lam, 1.0 - lam
+    sc = (
+        f"CASE WHEN {q1} >= {q2} "
+        f"THEN (({w!r} * {q1}) * c.cov1) + (({wn!r} * {q2}) * c.cov2) "
+        f"ELSE (({w!r} * {q2}) * c.cov2) + (({wn!r} * {q1}) * c.cov1) END"
+    )
+    cs = "(c.cov1 + c.cov2)"
+    return f"""
+WITH RECURSIVE {BASE_CTES}, {_tf_cte(main_terms)}, {_pivot_tf(main_terms)},
+{_diversity_cand_ctes(main_terms, intent_terms, max_input)},
+sel AS (
+  SELECT 0 AS step, CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score,
+         CAST(0.0 AS DOUBLE) AS s1, CAST(0.0 AS DOUBLE) AS s2,
+         CAST([] AS BIGINT[]) AS chosen
+  UNION ALL
+  SELECT s.step + 1, c.doc_id, {sc},
+         CASE WHEN {sc} != 0.0 THEN s.s1 + c.cov1 / {cs} ELSE s.s1 END,
+         CASE WHEN {sc} != 0.0 THEN s.s2 + c.cov2 / {cs} ELSE s.s2 END,
+         list_append(s.chosen, c.doc_id)
+  FROM sel s JOIN cand c ON NOT list_contains(s.chosen, c.doc_id)
+  WHERE s.step < {max_result}
+  QUALIFY row_number() OVER (PARTITION BY s.step ORDER BY {sc} DESC, c.opos) = 1
+)
+SELECT '{qid}' AS qid, doc_id, CAST(round(score, 6) AS DOUBLE) AS score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+FROM sel WHERE step > 0 ORDER BY rank
+"""
+
+
+# -- hyperplane-LSH ANN oracles ----------------------------------------------
+
+
+def _lsh_bucket_ctes(n_tables: int, bits: int, dim: int, seed: int) -> str:
+    """CTEs base/n/bb/stk replicating similarity's hyperplane bucketing;
+    plane literals come from the SAME seeded numpy generator the Spark
+    operator uses, so bucket keys agree value-for-value."""
+    from searchengine_spark.pipeline.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_tables, bits, seed)
+    bcols = []
+    for t in range(n_tables):
+        bit_exprs = []
+        for b_ in range(bits):
+            arr = "[" + ", ".join(repr(float(x)) for x in planes[t, b_]) + "]"
+            bit_exprs.append(
+                f"CASE WHEN list_dot_product(v, {arr}) >= 0 THEN '1' ELSE '0' END"
+            )
+        bcols.append("concat(" + ", ".join(bit_exprs) + f") AS bk{t}")
+    stk = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, bk{t} AS bucket FROM bb" for t in range(n_tables)
+    )
+    return f"""base AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_sum([v[i] * v[i] FOR i IN range(1, len(v) + 1)])) AS nrm FROM base),
+bb AS (SELECT vec_id, {', '.join(bcols)} FROM n),
+stk AS ({stk})"""
+
+
+def ann_lsh_sql(
+    query_ids: list[int], k: int,
+    n_tables: int = 16, bits: int = 4, dim: int = 64, seed: int = 13,
+) -> str:
+    qs = ", ".join(str(q) for q in query_ids)
+    return f"""
+WITH {_lsh_bucket_ctes(n_tables, bits, dim, seed)},
+qv AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id IN ({qs})),
+qb AS (SELECT vec_id AS query_id, tbl, bucket FROM stk WHERE vec_id IN ({qs})),
+cand AS (SELECT DISTINCT s.vec_id, q.query_id
+         FROM stk s JOIN qb q ON s.tbl = q.tbl AND s.bucket = q.bucket
+         WHERE s.vec_id != q.query_id),
+p AS (SELECT c.query_id, c.vec_id,
+        CAST(round(list_sum([q.qv[i] * n.v[i] FOR i IN range(1, len(n.v) + 1)])
+          / (q.qn * n.nrm), 6) AS DOUBLE) AS cos
+      FROM cand c JOIN n ON n.vec_id = c.vec_id JOIN qv q ON q.query_id = c.query_id)
+SELECT query_id, vec_id, cos, rank FROM (
+  SELECT query_id, vec_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+  FROM p) __r
+WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def emb_near_dup_sql(
+    threshold: float,
+    n_tables: int = 16, bits: int = 4, dim: int = 64, seed: int = 13,
+) -> str:
+    return f"""
+WITH {_lsh_bucket_ctes(n_tables, bits, dim, seed)},
+cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         FROM stk x JOIN stk y ON x.tbl = y.tbl AND x.bucket = y.bucket
+         WHERE x.vec_id < y.vec_id),
+p AS (SELECT c.id_a, c.id_b,
+        CAST(round(list_sum([a.v[i] * b.v[i] FOR i IN range(1, len(b.v) + 1)])
+          / (a.nrm * b.nrm), 6) AS DOUBLE) AS cos
+      FROM cand c JOIN n a ON a.vec_id = c.id_a JOIN n b ON b.vec_id = c.id_b)
+SELECT id_a, id_b, cos FROM p WHERE cos >= {threshold!r} ORDER BY id_a, id_b
+"""
+
+
+# -- DRMM oracle --------------------------------------------------------------
+
+
+def drmm_sql(terms: list[str], cand_k: int = 20, k: int = 10,
+             n_bins: int = 10, dim: int = 64, seed: int = 5) -> str:
+    """SQL twin of the DRMM rerank gate: hash-uniform term vectors
+    (md5-derived, same construction as operators.drmm.term_vector),
+    cosine histograms with getBin semantics + float32 log1p rounding,
+    the seeded MLP's tanh forward pass with inlined literal weights, and
+    idf-softmax term gating (RetrievalModelDRMM.java:139-155, 587-614;
+    MLP.java:28-99)."""
+    from searchengine_spark.operators.drmm import MLP
+
+    mlp = MLP(sizes=(n_bins, 5, 1), seed=seed)
+    w0, b0 = mlp.w[0], mlp.b[0]          # (10, 5), (5,)
+    w1, b1 = mlp.w[1], mlp.b[1]          # (5, 1), (1,)
+    cand_sql = bm25_sum_sql(terms, cand_k)
+
+    vec = (
+        "[2.0 * (CAST(CAST('0x' || substr(md5(term || ':' || CAST(i AS VARCHAR)), 1, 8) AS UBIGINT) AS DOUBLE)"
+        " / 4294967296.0) - 1.0 FOR i IN range(0, %d)]" % dim
+    )
+    qterms = " UNION ALL ".join(
+        f"SELECT {i} AS qi, '{t}' AS term" for i, t in enumerate(terms)
+    )
+    nt = len(terms)
+
+    hidden = []
+    for j in range(5):
+        acc = " + ".join(f"h{i} * {float(w0[i, j])!r}" for i in range(n_bins))
+        # this DuckDB build has no tanh(); 1 - 2/(e^{2x}+1) is overflow-safe
+        # (saturates to ±1) and agrees with numpy tanh to ~ulp — the
+        # round-6 exposed score absorbs the difference
+        hidden.append(f"(1.0 - 2.0 / (exp(2.0 * (({acc}) + {float(b0[j])!r})) + 1.0))")
+    out_expr = (
+        "("
+        + " + ".join(f"({h}) * {float(w1[j, 0])!r}" for j, h in enumerate(hidden))
+        + f") + {float(b1[0])!r}"
+    )
+    hcols = ", ".join(
+        f"COALESCE(max(CASE WHEN bin = {b_} THEN h END), 0.0) AS h{b_}"
+        for b_ in range(n_bins)
+    )
+    idf_cols = ", ".join(
+        f"ln((st.n_docs - (SELECT CAST(count(*) AS DOUBLE) FROM tf WHERE term = '{t}') + 0.5) "
+        f"/ ((SELECT CAST(count(*) AS DOUBLE) FROM tf WHERE term = '{t}') + 0.5)) AS i{i}"
+        for i, t in enumerate(terms)
+    )
+    imax = f"greatest({', '.join(f'i{i}' for i in range(nt))})"
+    e_cols = ", ".join(f"exp(i{i} - {imax}) AS e{i}" for i in range(nt))
+    esum = " + ".join(f"e{i}" for i in range(nt))
+    gate_score = " + ".join(
+        f"(f{i}.o * (wq.e{i} / ({esum.replace('e', 'wq.e')})))" for i in range(nt)
+    )
+    fwd_joins = " ".join(
+        f"JOIN fwd f{i} ON f{i}.doc_id = c.doc_id AND f{i}.qi = {i}" for i in range(nt)
+    )
+    return f"""
+WITH {BASE_CTES}, {_tf_cte(terms)},
+cand AS (SELECT doc_id FROM ({cand_sql}) __c),
+dterm AS (SELECT a.doc_id, a.t AS term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(toks) AS t FROM tok) a
+          JOIN cand USING (doc_id) GROUP BY a.doc_id, a.t),
+vocab AS (SELECT DISTINCT term FROM dterm UNION SELECT term FROM ({qterms}) __q),
+rawv AS (SELECT term, {vec} AS rv FROM vocab),
+nv AS (SELECT term,
+         list_transform(rv, x -> x / sqrt(list_sum(list_transform(rv, y -> y * y)))) AS v
+       FROM rawv),
+qv AS (SELECT q.qi, nv.v FROM ({qterms}) q JOIN nv ON nv.term = q.term),
+sims AS (SELECT d.doc_id, q.qi, d.tf,
+           list_sum([q.v[i] * tn.v[i] FOR i IN range(1, len(tn.v) + 1)]) AS sim
+         FROM dterm d JOIN nv tn ON tn.term = d.term CROSS JOIN qv q),
+binned AS (SELECT doc_id, qi,
+             CASE WHEN sim >= 0.99999 THEN {n_bins - 1}
+                  ELSE least({n_bins - 1}, CAST(trunc((sim + 1.0) / 2.0 * {n_bins}) AS INT)) END AS bin,
+             tf
+           FROM sims),
+hb AS (SELECT doc_id, qi, bin, CAST(sum(tf) AS DOUBLE) AS cnt FROM binned GROUP BY doc_id, qi, bin),
+hv AS (SELECT doc_id, qi, bin, CAST(CAST(ln(1.0 + cnt) AS REAL) AS DOUBLE) AS h FROM hb),
+hp AS (SELECT doc_id, qi, {hcols} FROM hv GROUP BY doc_id, qi),
+fwd AS (SELECT doc_id, qi, {out_expr} AS o FROM hp),
+idf AS (SELECT {idf_cols} FROM st),
+wq AS (SELECT {e_cols} FROM idf),
+scored AS (SELECT c.doc_id, CAST(round({gate_score}, 6) AS DOUBLE) AS score
+           FROM cand c {fwd_joins} CROSS JOIN wq)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM scored) __r
+WHERE rank <= {k} ORDER BY rank
 """
 
 
@@ -623,6 +1109,31 @@ WHERE rank <= 10 ORDER BY rank
 """,
     )
 
+    def _prf_end_to_end(spark: SparkSession, sf: str) -> DataFrame:
+        """Entry-point-2 loop: expand 'dup spark' with Indri PRF, run the
+        rewritten #wand query to a final ranking (QryExpand.java:133-146)."""
+        from searchengine_spark.operators import prf
+
+        eng = engine_for(spark, sf)
+        model = Indri(**INDRI_P)
+        init = _ranked(eng.scores("dup spark", model=model), 10).collect()
+        top = [(int(r["doc_id"]), float(r["score"])) for r in init]
+        params = prf.ExpandParams(
+            fb="indri", fb_docs=10, fb_terms=5, fb_mu=500.0, fb_orig_weight=0.5
+        )
+        expanded, _fbq = prf.expand(
+            eng, "dup spark", params, model=model, initial_ranking=top
+        )
+        return _ranked(eng.scores(expanded, model=model), K)
+
+    r["prf_end_to_end"] = (
+        _prf_end_to_end,
+        prf_end_to_end_sql(
+            ["dup", "spark"], K, fb_docs=10, fb_terms=5, fb_mu=500.0,
+            w_orig=0.5, mu=INDRI_P["mu"], lam=INDRI_P["lam"],
+        ),
+    )
+
     # --- multi-field Indri (doc_stats default-length fallback path) ---
     def _indri_multifield(spark: SparkSession, sf: str) -> DataFrame:
         eng = _ENGINES.get(sf + "#mf")
@@ -790,38 +1301,50 @@ ORDER BY doc_id
         .orderBy("query_id", "rank"),
         ann_cosine_sql(QIDS, 10),
     )
-    # --- iterative / learned operators: deterministic but not
-    # SQL-expressible (greedy loops, model forward passes) -> rows-only
-    # driver checks; semantics are golden-tested in pytest instead.
-    def _diversity_xquad(spark: SparkSession, sf: str) -> DataFrame:
-        from searchengine_spark.operators.diversity import diversify, rankings_from_engine
+    # --- iterative / learned operators. The greedy loops and forward
+    # passes are deterministic; inputs are rounded to 6 digits so both
+    # engines start from identical doubles, and the DuckDB twins carry
+    # the greedy state through recursive CTEs.
+    # intents overlap the main candidates so coverage terms are non-trivial
+    D_MAIN, D_INTENTS = "dup spark", {"q1.1": "dup", "q1.2": "merge"}
 
+    def _diversity_rankings(spark: SparkSession, sf: str) -> DataFrame:
         eng = engine_for(spark, sf)
-        rankings = rankings_from_engine(
-            eng, "q1", "dup spark", {"q1.1": "merge", "q1.2": "window"},
-            model=BM25(), k=50,
-        )
-        out = diversify(rankings, "xquad", lam=0.5, max_input=50, max_result=20)
-        return out.select(
-            "qid", "doc_id", F.round("score", 6).alias("score"), "rank"
-        ).orderBy("rank")
+        frames = []
+        for intent, q in [("", D_MAIN)] + sorted(D_INTENTS.items()):
+            frames.append(
+                eng.scores(q, model=BM25()).select(
+                    F.lit("q1").alias("qid"),
+                    F.lit(intent).alias("intent"),
+                    "doc_id",
+                    F.round("score", 6).alias("score"),
+                )
+            )
+        u = frames[0]
+        for fr in frames[1:]:
+            u = u.unionByName(fr)
+        return u
 
-    r["diversity_xquad"] = (_diversity_xquad, None)
+    def _diversity(algorithm: str):
+        def fn(spark: SparkSession, sf: str) -> DataFrame:
+            from searchengine_spark.operators.diversity import diversify
 
-    def _diversity_pm2(spark: SparkSession, sf: str) -> DataFrame:
-        from searchengine_spark.operators.diversity import diversify, rankings_from_engine
+            rankings = _diversity_rankings(spark, sf)
+            out = diversify(rankings, algorithm, lam=0.5, max_input=50, max_result=20)
+            return out.select(
+                "qid", "doc_id", F.round("score", 6).alias("score"), "rank"
+            ).orderBy("rank")
 
-        eng = engine_for(spark, sf)
-        rankings = rankings_from_engine(
-            eng, "q1", "dup spark", {"q1.1": "merge", "q1.2": "window"},
-            model=BM25(), k=50,
-        )
-        out = diversify(rankings, "pm2", lam=0.5, max_input=50, max_result=20)
-        return out.select(
-            "qid", "doc_id", F.round("score", 6).alias("score"), "rank"
-        ).orderBy("rank")
+        return fn
 
-    r["diversity_pm2"] = (_diversity_pm2, None)
+    r["diversity_xquad"] = (
+        _diversity("xquad"),
+        xquad_sql(["dup", "spark"], ["dup", "merge"]),
+    )
+    r["diversity_pm2"] = (
+        _diversity("pm2"),
+        pm2_sql(["dup", "spark"], ["dup", "merge"]),
+    )
 
     def _letor_features(spark: SparkSession, sf: str) -> DataFrame:
         from searchengine_spark.operators import letor
@@ -829,10 +1352,13 @@ ORDER BY doc_id
         eng = engine_for(spark, sf)
         cand = _ranked(eng.scores("dup spark", model=BM25()), 20).select("doc_id")
         feats = letor.featurize(eng, "q1", "dup spark", cand)
-        cols = [F.round(c, 6).alias(c) for c in letor.FEATURE_COLS]
+        # absent-feature NULLs (the reference's Double.MIN_VALUE sentinel)
+        # surface as -1.0 so the driver's NULL/NaN canonicalization can't
+        # diverge between engines
+        cols = [F.coalesce(F.round(c, 6), F.lit(-1.0)).alias(c) for c in letor.FEATURE_COLS]
         return feats.select("qid", "doc_id", *cols).orderBy("doc_id")
 
-    r["letor_features"] = (_letor_features, None)
+    r["letor_features"] = (_letor_features, letor_features_sql(["dup", "spark"], 20))
 
     def _drmm_rerank(spark: SparkSession, sf: str) -> DataFrame:
         from searchengine_spark.operators import drmm
@@ -842,26 +1368,24 @@ ORDER BY doc_id
         cand = _ranked(eng.scores("dup spark", model=BM25()), 20).select("doc_id")
         feats = drmm.histogram_features(eng, terms, cand)
         mlp = drmm.MLP(seed=5)  # fixed net -> deterministic scores
-        out = drmm.rerank(eng, terms, feats, mlp, k=10)
-        return out.select(
-            "doc_id", F.round("score", 6).alias("score"), "rank"
-        ).orderBy("rank")
+        scored = drmm.score_candidates(eng, terms, feats, mlp)
+        return _ranked(scored, 10)
 
-    r["drmm_rerank"] = (_drmm_rerank, None)
+    r["drmm_rerank"] = (_drmm_rerank, drmm_sql(["dup", "spark"], 20, 10))
 
-    # scale-path ANN: LSH recall is verified against brute force in
-    # pytest; the driver records a rows-only check (not SQL-expressible
-    # without replicating the plane RNG).
+    # scale-path ANN: the oracle rebuilds the hyperplane buckets from the
+    # same seeded generator, so even the approximate candidate set is
+    # verified value-for-value (recall vs brute force stays pytest-pinned).
     r["ann_lsh_topk"] = (
         lambda spark, sf: similarity.lsh_bucket_topk(emb_df(spark, sf), QIDS, k=10)
         .orderBy("query_id", "rank"),
-        None,
+        ann_lsh_sql(QIDS, 10),
     )
     r["emb_near_dup"] = (
         lambda spark, sf: similarity.embedding_near_dup_pairs(
-            emb_df(spark, sf), threshold=0.95
+            emb_df(spark, sf), threshold=0.45
         ).orderBy("id_a", "id_b"),
-        None,
+        emb_near_dup_sql(0.45),
     )
     _ = math  # keep import (used by callers/debug)
     return r

@@ -36,14 +36,23 @@ def _normalized(group: pd.DataFrame, qid: str, max_input: int):
     subqids = sorted(set(group.loc[group["intent"] != "", "intent"]))
     d2s: dict[int, dict[str, float]] = {d: {} for d in orthodox}
 
-    base = float(main["score"].sum())
+    def _fold(vals) -> float:
+        # explicit left-to-right fold in (score desc, doc_id) order —
+        # reproducible in SQL via list_reduce(list(… ORDER BY …));
+        # pandas .sum() would use pairwise summation (order-dependent ulp)
+        acc = 0.0
+        for v in vals:
+            acc = acc + float(v)
+        return acc
+
+    base = _fold(main["score"])
     per_intent_top = {}
     for sq in subqids:
         sub = group[group["intent"] == sq].sort_values(
             ["score", "doc_id"], ascending=[False, True]
         ).head(max_input)
         per_intent_top[sq] = sub
-        tmp = float(sub[sub["doc_id"].isin(d2s)]["score"].sum())
+        tmp = _fold(sub[sub["doc_id"].isin(d2s)]["score"])
         base = max(base, tmp)
     base = max(base, 1.0)
 

@@ -40,11 +40,19 @@ N_BINS = 10
 
 
 def term_vector(term: str, dim: int = DIM) -> np.ndarray:
-    """Deterministic L2-normalized pseudo-word2vec vector."""
-    seed = int.from_bytes(hashlib.md5(term.encode()).digest()[:8], "little")
-    rng = np.random.default_rng(seed)
-    v = rng.standard_normal(dim).astype(np.float64)
-    return v / np.linalg.norm(v)
+    """Deterministic L2-normalized pseudo-word2vec vector.
+
+    Component i = 2*u - 1 with u = first-32-md5-bits("term:i") / 2^32 —
+    chosen over an RNG stream because it is reproducible in ANSI SQL
+    (md5 + hex parse), so the DuckDB oracle can rebuild the exact same
+    vectors value-for-value. Swap for a real embedding store in
+    production (IdxWordvec.java:60-100 memory-maps word2vec).
+    """
+    raw = np.empty(dim, dtype=np.float64)
+    for i in range(dim):
+        h = int(hashlib.md5(f"{term}:{i}".encode()).hexdigest()[:8], 16)
+        raw[i] = 2.0 * (h / 4294967296.0) - 1.0
+    return raw / np.linalg.norm(raw)
 
 
 def _bin_index(sim: float, n_bins: int) -> int:
@@ -209,15 +217,14 @@ def train(
     return mlp
 
 
-def rerank(
+def score_candidates(
     engine: SearchEngine,
     query_terms: list[str],
     feats: DataFrame,
     mlp: MLP,
-    k: int = 100,
     n_bins: int = N_BINS,
 ) -> DataFrame:
-    """Score candidates with the trained MLP + idf-softmax gating."""
+    """(doc_id, score): MLP forward pass + idf-softmax gating, unranked."""
     weights = idf_softmax(engine, query_terms)
     nq = len(query_terms)
     w_list = weights.tolist()
@@ -238,6 +245,18 @@ def rerank(
             out.append(float(np.dot(per_term, np.asarray(w_list))))
         return pd.Series(out)
 
-    scored = feats.select("doc_id", score_udf("hist").alias("score"))
+    return feats.select("doc_id", score_udf("hist").alias("score"))
+
+
+def rerank(
+    engine: SearchEngine,
+    query_terms: list[str],
+    feats: DataFrame,
+    mlp: MLP,
+    k: int = 100,
+    n_bins: int = N_BINS,
+) -> DataFrame:
+    """Score candidates with the trained MLP + idf-softmax gating."""
+    scored = score_candidates(engine, query_terms, feats, mlp, n_bins)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

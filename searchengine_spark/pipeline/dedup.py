@@ -82,6 +82,12 @@ def jaccard_pairs_vs_seeds(
     )
 
 
+# 15 md5 hex chars = 60 bits: fits a signed int64 in Spark (conv) AND
+# DuckDB ('0x…'::UBIGINT::BIGINT) with no overflow; identical values on
+# both engines, so the oracle reproduces the hashed-set Jaccard exactly.
+SHINGLE_HASH = "transform({col}, s -> cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint))"
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -119,9 +125,21 @@ def minhash_lsh_pairs(
     Candidates = pairs agreeing on >=1 band (equi-join on band key);
     each candidate is verified with exact shingle Jaccard so the output
     has no LSH false positives (false negatives only — standard).
+
+    Scale discipline in the verify stage: the banded self-join carries
+    ONLY (id, band, bkey); exact Jaccard runs on 8-byte shingle hashes
+    (not the raw shingle strings), and only for docs that appear in some
+    candidate pair (semi-join first) — the corpus-wide shingle payload
+    never enters a shuffle.
     """
     rows_per_band = n_hashes // n_bands
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, n).persist()
+    sh = _with_shingles(df, id_col, text_col, n).persist()
+    ex = sh.select("id", F.explode("__sh").alias("s"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    sig = ex.groupBy("id").agg(*aggs)
 
     bands = []
     for b in range(n_bands):
@@ -141,16 +159,27 @@ def minhash_lsh_pairs(
         .where(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
+        .persist()
     )
-    a = sig.select(F.col("id").alias("id_a"), F.col("__sh").alias("__sh_a"))
-    b_ = sig.select(F.col("id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    shh = (
+        sh.join(cand_ids, on="id", how="leftsemi")
+        .select("id", F.expr(SHINGLE_HASH.format(col="__sh")).alias("__hh"))
+        .persist()
+    )
+    a = shh.select(F.col("id").alias("id_a"), F.col("__hh").alias("__hh_a"))
+    b_ = shh.select(F.col("id").alias("id_b"), F.col("__hh").alias("__hh_b"))
     verified = (
         cand.join(a, "id_a")
         .join(b_, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(_jaccard(F.col("__sh_a"), F.col("__sh_b")), 6).alias("jaccard"),
+            F.round(_jaccard(F.col("__hh_a"), F.col("__hh_b")), 6).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )

@@ -455,6 +455,127 @@ WHERE rank <= {k} ORDER BY query_id, rank
 """
 
 
+# -- 5-field BM25 oracle -----------------------------------------------------
+
+
+def bm25_multifield_sql(
+    pairs: list[tuple[str, str]], k: int, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """BM25 #SUM over (term, field) leaves where each field tokenizes a
+    different source expression (all five reference fields,
+    QryParser.java:162-166). One CTE block per field: field-local
+    doc_len / sum_len / doc_count / df, global N."""
+    blocks, ids = [], []
+    for i, (t, expr) in enumerate(pairs):
+        blocks.append(f"""
+tok{i} AS (SELECT doc_id, regexp_extract_all(lower({expr}), '[a-z0-9]+') AS toks FROM documents),
+dl{i} AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS L FROM tok{i}),
+st{i} AS (SELECT CAST(sum(L) AS DOUBLE) AS sum_len,
+                 CAST(sum(CASE WHEN L > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS doc_count FROM dl{i}),
+tf{i} AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(toks) AS t FROM tok{i}) WHERE t = '{t}' GROUP BY doc_id),
+sc{i} AS (SELECT x.doc_id,
+            (SELECT greatest(0.0, ln((g.n - d.df + 0.5) / (d.df + 0.5)))
+             FROM (SELECT CAST(count(*) AS DOUBLE) AS df FROM tf{i}) d)
+            * CAST(x.tf AS DOUBLE)
+            / (CAST(x.tf AS DOUBLE) + {k1!r} * ({1.0 - b!r} + {b!r} * CAST(dl{i}.L AS DOUBLE) / (st{i}.sum_len / st{i}.doc_count))) AS s
+          FROM tf{i} x JOIN dl{i} ON dl{i}.doc_id = x.doc_id CROSS JOIN st{i} CROSS JOIN g)""")
+        ids.append(i)
+    union = " UNION ".join(f"SELECT doc_id FROM tf{i}" for i in ids)
+    sums = " + ".join(f"COALESCE(sc{i}.s, 0.0)" for i in ids)
+    joins = " ".join(f"LEFT JOIN sc{i} ON sc{i}.doc_id = u.doc_id" for i in ids)
+    inner = f"""
+WITH g AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),{','.join(blocks)},
+u AS ({union})
+SELECT u.doc_id, CAST(round({sums}, 6) AS DOUBLE) AS score FROM u {joins}
+"""
+    return _rank_wrap(inner, k)
+
+
+# -- english-analyzer (stop + krovetz_lite) oracle ---------------------------
+
+
+def _kstem_sql(w: str) -> str:
+    """krovetz_lite (analyzer.py) as a SQL CASE over token ``w`` — same
+    rule order: plurals, -ied/-ed, -ing, with doubling undo and e-restore."""
+    def dbl(stem: str) -> str:
+        return (
+            f"length({stem}) >= 3 AND right({stem}, 1) = left(right({stem}, 2), 1) "
+            f"AND right({stem}, 1) NOT IN ('l', 's', 'z')"
+        )
+
+    def wants_e(stem: str) -> str:
+        return (
+            f"(length({stem}) >= 3 "
+            f"AND right({stem}, 1) NOT IN ('a','e','i','o','u','w','x','y') "
+            f"AND (left(right({stem}, 2), 1) IN ('a','e','i','o','u') "
+            f"OR right({stem}, 1) IN ('c','g','v','z')))"
+        )
+
+    sed = f"left({w}, length({w}) - 2)"
+    sing = f"left({w}, length({w}) - 3)"
+    ses = f"left({w}, length({w}) - 2)"
+    return f"""CASE
+ WHEN length({w}) <= 3 OR NOT regexp_matches({w}, '^[a-z]+$') THEN {w}
+ WHEN ends_with({w}, 'ies') AND length({w}) > 4 THEN left({w}, length({w}) - 3) || 'y'
+ WHEN ends_with({w}, 'sses') THEN left({w}, length({w}) - 2)
+ WHEN ends_with({w}, 'ss') OR ends_with({w}, 'us') THEN {w}
+ WHEN ends_with({w}, 'es') AND length({w}) > 4 THEN
+   (CASE WHEN ends_with({ses}, 'x') OR ends_with({ses}, 'ch') OR ends_with({ses}, 'sh')
+              OR ends_with({ses}, 'z') OR ends_with({ses}, 's')
+         THEN {ses} ELSE left({w}, length({w}) - 1) END)
+ WHEN ends_with({w}, 's') THEN left({w}, length({w}) - 1)
+ WHEN ends_with({w}, 'ied') AND length({w}) > 4 THEN left({w}, length({w}) - 3) || 'y'
+ WHEN ends_with({w}, 'ed') AND length({w}) > 4 THEN
+   (CASE WHEN {dbl(sed)} THEN left({sed}, length({sed}) - 1)
+         WHEN {wants_e(sed)} THEN {sed} || 'e' ELSE {sed} END)
+ WHEN ends_with({w}, 'ing') AND length({w}) > 5 THEN
+   (CASE WHEN {dbl(sing)} THEN left({sing}, length({sing}) - 1)
+         WHEN {wants_e(sing)} THEN {sing} || 'e' ELSE {sing} END)
+ ELSE {w} END"""
+
+
+def bm25_english_sql(stemmed_terms: list[str], k: int,
+                     k1: float = 1.2, b: float = 0.75) -> str:
+    """BM25 #SUM over an ``english``-analyzed index: Lucene stopwords
+    become '' (position slots preserved -> field length INCLUDES
+    stopword slots, Idx.java:97 / TermVector stem-0 convention), other
+    tokens run through the krovetz_lite CASE. ``stemmed_terms`` are the
+    already-stemmed query terms."""
+    from searchengine_spark.analyzer import LUCENE_STOPWORDS
+
+    stop = ", ".join(f"'{s}'" for s in sorted(LUCENE_STOPWORDS))
+    kstem = _kstem_sql("w")
+    scs = []
+    for i, t in enumerate(stemmed_terms):
+        scs.append(
+            f"(SELECT greatest(0.0, ln((st.n_docs - d.df + 0.5) / (d.df + 0.5))) "
+            f"* pv.tf{i} / (pv.tf{i} + {k1!r} * ({1.0 - b!r} + {b!r} * dl.doc_len / (st.sum_len / st.doc_count))) "
+            f"FROM (SELECT CAST(count(*) AS DOUBLE) AS df FROM tf WHERE term = '{t}') d) AS s{i}"
+        )
+    sums = " + ".join(f"COALESCE(s{i}, 0.0)" for i in range(len(stemmed_terms)))
+    lst = ", ".join(f"'{t}'" for t in stemmed_terms)
+    inner = f"""
+WITH raw AS (SELECT doc_id, {TOK} AS toks FROM documents),
+tok AS (SELECT doc_id,
+          list_transform(toks, w -> CASE WHEN w IN ({stop}) THEN '' ELSE {kstem} END) AS toks
+        FROM raw),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS doc_len FROM tok),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+              CAST(sum(doc_len) AS DOUBLE) AS sum_len,
+              CAST(sum(CASE WHEN doc_len > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS doc_count
+       FROM dl),
+tf AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS t FROM tok)
+       WHERE t IN ({lst}) GROUP BY doc_id, t),
+{_pivot_tf(stemmed_terms)},
+sc AS (SELECT pv.doc_id, {', '.join(scs)}
+       FROM pv JOIN dl USING (doc_id) CROSS JOIN st)
+SELECT doc_id, CAST(round({sums}, 6) AS DOUBLE) AS score FROM sc
+"""
+    return _rank_wrap(inner, k)
+
+
 # -- PRF end-to-end oracle ---------------------------------------------------
 
 
@@ -1188,6 +1309,66 @@ SELECT doc_id, CAST(round(e0 * 0.4 / 1.0 + e1 * 0.6 / 1.0, 6) AS DOUBLE) AS scor
         ),
     )
 
+    # --- all five reference fields on one index (QryParser.java:162-166) ---
+    def _bm25_5field(spark: SparkSession, sf: str) -> DataFrame:
+        key = sf + "#5f"
+        eng = _ENGINES.get(key)
+        if eng is None:
+            d = docs_df(spark, sf).select(
+                "doc_id", "text", "source", "lang",
+                F.concat_ws(
+                    "/", F.lit("http:"), F.col("lang"), F.col("source"),
+                    F.col("doc_id").cast("string"),
+                ).alias("url_src"),
+                F.substring("text", 1, 60).alias("kw_src"),
+                F.concat_ws(" ", F.col("lang"), F.col("source")).alias("inlink_src"),
+            )
+            idx = build_index(
+                d,
+                fields={"body": "text", "title": "source", "url": "url_src",
+                        "keywords": "kw_src", "inlink": "inlink_src"},
+                doc_id_col="doc_id", ext_id_col="doc_id", analyzer="simple",
+            )
+            eng = SearchEngine(idx, fields=("body", "title", "url", "keywords", "inlink"))
+            _ENGINES[key] = eng
+        q = "#sum(dup.body src1.title src2.url spark.keywords src3.inlink)"
+        return _ranked(eng.scores(q, model=BM25()), K)
+
+    r["bm25_5field"] = (
+        _bm25_5field,
+        bm25_multifield_sql(
+            [
+                ("dup", "text"),
+                ("src1", "source"),
+                ("src2", "concat_ws('/', 'http:', lang, source, CAST(doc_id AS VARCHAR))"),
+                ("spark", "substr(text, 1, 60)"),
+                ("src3", "concat_ws(' ', lang, source)"),
+            ],
+            K,
+        ),
+    )
+
+    # --- english analyzer (stopwords + krovetz_lite) end-to-end ---
+    def _bm25_english(spark: SparkSession, sf: str) -> DataFrame:
+        key = sf + "#en"
+        eng = _ENGINES.get(key)
+        if eng is None:
+            idx = build_index(
+                docs_df(spark, sf), fields={"body": "text"}, doc_id_col="doc_id",
+                ext_id_col="doc_id", analyzer="english",
+            )
+            eng = SearchEngine(idx, fields=("body",))
+            _ENGINES[key] = eng
+        # 'merged tables' stems to (merge, table); 'the' drops as a stopword
+        return _ranked(eng.scores("merged the tables", model=BM25()), K)
+
+    from searchengine_spark.analyzer import get_analyzer as _ga
+
+    r["bm25_english_stem"] = (
+        _bm25_english,
+        bm25_english_sql(_ga("english").terms("merged the tables"), K),
+    )
+
     # --- events table: tumbling-window aggregation + sessionization ---
     from searchengine_spark.pipeline import events as ev
 
@@ -1221,6 +1402,31 @@ SELECT event_id, user_id,
   CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING) AS BIGINT)::VARCHAR AS session_id
 FROM g ORDER BY event_id
+""",
+    )
+
+    # --- streaming twin: availableNow drain == batch aggregation ---
+    def _events_streaming_twin(spark: SparkSession, sf: str) -> DataFrame:
+        import os
+        import tempfile
+        import uuid
+
+        src_dir = tempfile.mkdtemp(prefix="evtwin_src_")
+        os.symlink(f"{sf}/events.parquet", os.path.join(src_dir, "events.parquet"))
+        name = f"evtwin_{uuid.uuid4().hex[:10]}"
+        q = ev.streaming_windowed_counts_memory(spark, src_dir, name)
+        q.awaitTermination(180)
+        return spark.table(name).orderBy("window_start", "event_type")
+
+    r["events_streaming_twin"] = (
+        _events_streaming_twin,
+        # identical SQL to events_windowed: the streaming drain must equal
+        # the batch aggregation row-for-row
+        """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(value), 6) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """,
     )
 
@@ -1281,6 +1487,52 @@ reach AS (
 )
 SELECT CAST(least(m.a, m.mn) AS BIGINT) AS component, CAST(m.a AS BIGINT) AS doc_id
 FROM (SELECT a, min(b) AS mn FROM reach GROUP BY a) m
+ORDER BY doc_id
+""",
+    )
+
+    # --- corpus curation (composition of dedup + textstats signals) ---
+    from searchengine_spark.pipeline import curate
+
+    r["dedup_keep_representatives"] = (
+        lambda spark, sf: curate.keep_representatives(docs_df(spark, sf), threshold=0.8)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .orderBy("doc_id"),
+        f"""
+WITH RECURSIVE
+pairs AS (SELECT id_a, id_b FROM ({mh_inner}) __p),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clusters AS (SELECT least(m.a, m.mn) AS component, m.a AS doc_id
+             FROM (SELECT a, min(b) AS mn FROM reach GROUP BY a) m)
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id != component)
+ORDER BY doc_id
+""",
+    )
+
+    r["corpus_filter"] = (
+        lambda spark, sf: curate.corpus_filter(docs_df(spark, sf), min_quality=0.6)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "pred_lang",
+            F.round("quality", 6).alias("quality"),
+        )
+        .orderBy("doc_id"),
+        f"""
+WITH q AS (SELECT doc_id, quality FROM ({quality_sql()}) __q),
+l AS (SELECT doc_id, pred_lang FROM ({lang_id_sql()}) __l),
+reps AS (SELECT md5(text) AS k, min(doc_id) AS rep FROM documents GROUP BY 1),
+losers AS (SELECT d.doc_id FROM documents d JOIN reps ON md5(d.text) = reps.k
+           WHERE d.doc_id != reps.rep)
+SELECT CAST(q.doc_id AS BIGINT) AS doc_id, l.pred_lang, q.quality
+FROM q JOIN l USING (doc_id)
+WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+  AND l.pred_lang = 'en' AND q.quality >= 0.6
 ORDER BY doc_id
 """,
     )

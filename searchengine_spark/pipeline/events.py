@@ -68,6 +68,32 @@ def streaming_windowed_counts(
     return writer.start()
 
 
+def streaming_windowed_counts_memory(
+    spark: SparkSession,
+    input_dir: str,
+    name: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Streaming twin with a complete-mode memory sink: after an
+    availableNow drain, ``spark.table(name)`` holds EXACTLY the batch
+    aggregation result (complete mode keeps all window state), which is
+    what lets the driver gate hash-compare the streaming path against
+    the batch SQL oracle. The append+watermark parquet variant above is
+    the production shape (bounded state); this one trades bounded state
+    for exact batch equivalence at test scale.
+    """
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    agg = _agg(stream.withWatermark("ts", watermark), window)
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Session ids per user: a new session starts after a >gap quiet
     period (classic window-function sessionization, one shuffle)."""

@@ -5,14 +5,16 @@ with structured metadata; decode/feature-extraction runs as
 Arrow-batched ``mapInPandas`` so bytes never round-trip through the
 driver and each task decodes only its partition.
 
-The decode kernels themselves need codec libraries that are NOT in
-this container, so they are stubbed two ways:
+Decode has two modes:
 
 - ``decode_stub=True`` (default): a deterministic fake "decode" (md5 of
   the bytes -> pseudo dimensions / features) so the full Spark plumbing
-  (schema, batching, partitioning, UDF signatures) is real and tested;
-- ``decode_stub=False``: raises ``NotImplementedError`` at the point a
-  real decoder (PIL / ffmpeg / torchaudio) would be plugged in.
+  (schema, batching, partitioning, UDF signatures) is real and tested
+  regardless of codecs;
+- ``decode_stub=False``: REAL decoding for images (pure-zlib PNG codec,
+  media_codecs.decode_png) and audio (stdlib WAV) — payloads generated
+  by ``make_media`` are genuine PNG/WAV bytes; video still raises
+  ``NotImplementedError`` at the point ffmpeg would be plugged in.
 """
 
 from __future__ import annotations
@@ -36,7 +38,11 @@ FEATURES_SCHEMA = (
 
 
 def make_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table (binary payloads)."""
+    """Deterministic synthetic media table with REAL payload bytes:
+    images are valid PNGs, audio clips are valid WAVs (media_codecs);
+    video stays an opaque mp4-magic blob."""
+    from searchengine_spark.pipeline.media_codecs import encode_png, encode_wav
+
     kinds = ["image", "audio", "video"]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -46,7 +52,20 @@ def make_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                 i = int(i)
                 rng = np.random.default_rng((seed << 32) + i)
                 kind = kinds[i % 3]
-                payload = rng.integers(0, 256, size=64 + i % 512, dtype=np.uint8).tobytes()
+                if kind == "image":
+                    w, h = 16 + i % 16, 16 + i % 8
+                    payload = encode_png(
+                        rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                    )
+                elif kind == "audio":
+                    samples = rng.integers(
+                        -(2**14), 2**14, size=256 + i % 512, dtype=np.int16
+                    )
+                    payload = encode_wav(samples, sample_rate=8000)
+                else:
+                    payload = b"\x00\x00\x00\x18ftypmp42" + rng.integers(
+                        0, 256, size=64 + i % 512, dtype=np.uint8
+                    ).tobytes()
                 mime = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind]
                 rows.append((i, kind, payload, mime, len(payload)))
             yield pd.DataFrame(
@@ -67,25 +86,46 @@ def _fake_decode(payload: bytes, kind: str):
     return width, height, n_frames, feat
 
 
+def _real_decode(payload: bytes, kind: str):
+    """Real decode for image (PNG) and audio (WAV); video needs ffmpeg."""
+    from searchengine_spark.pipeline.media_codecs import decode_png, decode_wav
+
+    if kind == "image":
+        w, h, px = decode_png(payload)
+        # 16-bin luminance histogram, mass-normalized
+        lum = px.astype(np.float32).mean(axis=2).ravel()
+        hist, _ = np.histogram(lum, bins=FEATURE_DIM, range=(0.0, 255.0))
+        feat = (hist / max(1, lum.size)).astype(np.float32)
+        return w, h, 1, feat
+    if kind == "audio":
+        rate, nch, samples = decode_wav(payload)
+        hist, _ = np.histogram(
+            samples.astype(np.float32), bins=FEATURE_DIM, range=(-32768.0, 32768.0)
+        )
+        feat = (hist / max(1, samples.size)).astype(np.float32)
+        return rate // 1000, nch, int(samples.size), feat
+    raise NotImplementedError(
+        "real video decoding requires ffmpeg — not available in this "
+        "environment; use decode_stub=True for video"
+    )
+
+
 def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     """Decode + featurize media partitions via mapInPandas.
 
-    Real pipeline point: swap ``_fake_decode`` for PIL/ffmpeg decode +
-    a model forward pass per Arrow batch. Everything around it (schema,
-    batch shape, partition-local execution) is production-shaped.
+    ``decode_stub=False`` runs the real PNG/WAV kernels (media_codecs)
+    for image/audio rows; video raises NotImplementedError (ffmpeg plug
+    point). Everything around the kernel (schema, batch shape,
+    partition-local execution) is production-shaped in both modes.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _fake_decode if decode_stub else _real_decode
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decoding requires PIL/ffmpeg — not available "
-                    "in this environment; use decode_stub=True"
-                )
             out = {"media_id": [], "kind": [], "width": [], "height": [],
                    "n_frames": [], "feature": []}
             for _, row in pdf.iterrows():
-                w, h, nf, feat = _fake_decode(bytes(row["payload"]), row["kind"])
+                w, h, nf, feat = decode(bytes(row["payload"]), row["kind"])
                 out["media_id"].append(row["media_id"])
                 out["kind"].append(row["kind"])
                 out["width"].append(w)

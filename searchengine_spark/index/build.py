@@ -22,11 +22,12 @@ Layout (chosen for 100 TB scale, not translated from the reference):
 - ``meta``       — corpus scalars: n_docs, per-field doc_count / sum_len /
   avg_len, analyzer name.
 
-Skew note: the only wide ops are ``groupBy(term, field, doc_id)`` (key
-cardinality ~ #distinct-(term,doc) pairs — naturally balanced) and
-``groupBy(term, field)`` for df/ctf (partial aggregation map-side combines
-head terms before the shuffle). We never ``collect_list`` a full posting
-list per term, so stopword-grade terms cannot blow a single reducer.
+Skew note: posting rows are produced entirely task-locally (one
+mapInPandas pass per field — a doc's postings never cross an exchange),
+so the only wide op in the build is ``groupBy(term, field)`` for df/ctf
+(partial aggregation map-side combines head terms before the shuffle).
+We never ``collect_list`` a full posting list per term, so
+stopword-grade terms cannot blow a single reducer.
 """
 
 from __future__ import annotations
@@ -41,7 +42,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import BinaryType
 
-from searchengine_spark.analyzer import get_analyzer, tokenize_udf
+from searchengine_spark.analyzer import get_analyzer
 from searchengine_spark.codec import encode_positions
 
 DEFAULT_FIELDS = ("body",)
@@ -51,6 +52,64 @@ BLOCK_RANGE = 4096  # doc ids per block-max block
 @F.pandas_udf(BinaryType())
 def _encode_positions_udf(pos_lists: pd.Series) -> pd.Series:
     return pos_lists.map(lambda p: encode_positions(p))
+
+
+POSTING_ROW_SCHEMA = (
+    "term string, field string, doc_id long, tf int, doc_len int, positions binary"
+)
+
+
+def _doc_postings_gen(analyzer_name: str, fld: str, src_col: str):
+    """mapInPandas kernel: one doc in -> its complete posting rows out.
+
+    Postings are a per-(doc, term) quantity, so tokenize, position
+    collection, tf, and varbyte encoding all happen inside ONE Arrow
+    batch pass with NO shuffle — the posexplode->groupBy alternative
+    ships one row per token occurrence (~corpus token count) through an
+    exchange just to reassemble what each doc already knew. A sentinel
+    row (term='') per doc carries doc_len for doc_stats.
+    """
+    from searchengine_spark.analyzer import get_analyzer
+    from searchengine_spark.codec import encode_positions as enc
+
+    an = get_analyzer(analyzer_name)
+
+    def gen(batches):
+        for pdf in batches:
+            terms, fields, dids, tfs, dls, poss = [], [], [], [], [], []
+            for did, text in zip(pdf["doc_id"], pdf[src_col]):
+                did = int(did)
+                toks = an.tokens(text if isinstance(text, str) else "")
+                dl = len(toks)
+                bypos: dict[str, list[int]] = {}
+                for pos, t in enumerate(toks):
+                    if t:
+                        bypos.setdefault(t, []).append(pos)
+                terms.append("")
+                fields.append(fld)
+                dids.append(did)
+                tfs.append(0)
+                dls.append(dl)
+                poss.append(b"")
+                for t, plist in bypos.items():
+                    terms.append(t)
+                    fields.append(fld)
+                    dids.append(did)
+                    tfs.append(len(plist))
+                    dls.append(dl)
+                    poss.append(enc(plist))
+            yield pd.DataFrame(
+                {
+                    "term": terms,
+                    "field": fields,
+                    "doc_id": dids,
+                    "tf": tfs,
+                    "doc_len": dls,
+                    "positions": poss,
+                }
+            )
+
+    return gen
 
 
 @dataclass
@@ -126,49 +185,30 @@ def build_index(
     """
     spark = docs.sparkSession
     fields = fields or {"body": "text"}
-    an = get_analyzer(analyzer)
-    tok = tokenize_udf(an)
+    get_analyzer(analyzer)  # fail fast on unknown analyzer names
     ext = ext_id_col or doc_id_col
 
     per_field = []
     stats_rows = []
     temps = []
     for fld, src in fields.items():
-        toks = docs.select(
+        # ONE Arrow pass per field: tokenize + position-collect + varbyte
+        # encode inside the task that owns the doc — postings never cross
+        # an exchange (the posexplode->groupBy alternative shuffles one
+        # row per token occurrence). Sentinel term='' rows carry doc_len.
+        rows = docs.select(
             F.col(doc_id_col).cast("long").alias("doc_id"),
-            tok(F.col(src).cast("string")).alias("toks"),
-        ).select("doc_id", "toks", F.size("toks").alias("doc_len"))
+            F.col(src).cast("string").alias("__src"),
+        ).mapInPandas(_doc_postings_gen(analyzer, fld, "__src"), POSTING_ROW_SCHEMA)
         if cache:
             # postings AND doc_stats both read this frame; without the
-            # persist the (expensive) tokenize UDF pass runs twice
-            toks = toks.persist()
-            temps.append(toks)
-        exploded = (
-            toks.select("doc_id", "doc_len", F.posexplode("toks").alias("pos", "term"))
-            .where(F.col("term") != "")
-        )
-        postings_f = (
-            exploded.groupBy("term", "doc_id")
-            .agg(
-                F.count(F.lit(1)).cast("int").alias("tf"),
-                F.first("doc_len").cast("int").alias("doc_len"),
-                F.sort_array(F.collect_list("pos")).alias("pos_arr"),
-            )
-            .select(
-                "term",
-                F.lit(fld).alias("field"),
-                "doc_id",
-                "tf",
-                "doc_len",
-                _encode_positions_udf("pos_arr").alias("positions"),
-            )
-        )
-        per_field.append(postings_f)
+            # persist the (expensive) tokenize pass runs twice
+            rows = rows.persist()
+            temps.append(rows)
+        per_field.append(rows.where(F.col("term") != ""))
         stats_rows.append(
-            toks.where(F.col("doc_len") > 0).select(
-                F.lit(fld).alias("field"),
-                F.col("doc_id"),
-                F.col("doc_len"),
+            rows.where((F.col("term") == "") & (F.col("doc_len") > 0)).select(
+                "field", F.col("doc_id"), F.col("doc_len")
             )
         )
 

@@ -284,23 +284,37 @@ class Compiler:
         return ScoreResult(joined.select(*out_cols), all_fields, default_fn)
 
     def _sum_by_aggregation(self, node: SopNode) -> ScoreResult:
-        """union of per-term leaf scores -> one groupBy(doc_id) — the
-        classic one-shuffle BM25 term-at-a-time aggregation.
+        """Long bag-of-words BM25 #SUM: ONE postings scan per field with
+        ``term IN (...)`` (k-fold less IO than k per-term scans — the
+        dominant cost at corpus scale), then one groupBy(doc_id).
 
         The per-doc sum folds the collected (term_index, score) pairs in
-        ascending term order, NOT in arrival order: a plain ``sum`` would
-        accumulate in shuffle-dependent order, making %.18f run files
-        differ across runs/parallelism. Folding in argument order is
-        bit-identical to the k-way-join path (interleaved ``+ 0.0`` for
-        missing terms is exact in IEEE), so both strategies and the SQL
-        oracle agree to the last ulp."""
+        ascending argument order, NOT in arrival order: a plain ``sum``
+        would accumulate in shuffle-dependent order, making %.18f run
+        files differ across runs/parallelism. The per-term idf constants
+        are selected by a CASE on the term column, so every row's float
+        ops are exactly the leaf formula — bit-identical to the
+        k-way-join path (interleaved ``+ 0.0`` for missing terms is
+        exact in IEEE) and to the SQL oracle."""
+        leaves = [(i, a.args[0]) for i, a in enumerate(node.args)]
+        by_field: dict[str, list] = {}
+        for i, t in leaves:
+            by_field.setdefault(t.field, []).append((i, t))
+
         frames = []
-        for i, a in enumerate(node.args):
-            frames.append(
-                self._leaf(a).frame.select(
-                    "doc_id", F.lit(i).alias("__ti"), F.col("score")
-                )
-            )
+        for fld, items in by_field.items():
+            terms = [t.term for _, t in items]
+            if len(set(terms)) == len(terms):
+                frames.append(self._bm25_batch_scan(fld, items))
+            else:
+                # duplicate term under one #SUM contributes once per
+                # occurrence — fall back to per-leaf frames for this field
+                for i, t in items:
+                    frames.append(
+                        self._leaf(SopNode("score", (t,))).frame.select(
+                            "doc_id", F.lit(i).alias("__ti"), F.col("score")
+                        )
+                    )
         u = frames[0]
         for fr in frames[1:]:
             u = u.unionByName(fr)
@@ -310,7 +324,50 @@ class Compiler:
                 "cast(0.0 as double), (acc, x) -> acc + x.score)"
             ).alias("score")
         )
-        return ScoreResult(out, frozenset(a.args[0].field for a in node.args))
+        return ScoreResult(out, frozenset(by_field))
+
+    def _bm25_batch_scan(self, fld: str, items: list) -> DataFrame:
+        """(doc_id, __ti, score) for several distinct terms of one field
+        from a single pushed-down scan. Bucket pruning still applies: the
+        OR of constant-foldable per-term bucket equalities prunes to the
+        union of the terms' bucket directories."""
+        m = self.model
+        terms = [t.term for _, t in items]
+        cond = (F.col("field") == fld) & F.col("term").isin(terms)
+        if self.index.n_buckets:
+            b = None
+            for t in terms:
+                eq = F.col("bucket") == F.pmod(
+                    F.xxhash64(F.lit(t)), F.lit(self.index.n_buckets)
+                )
+                b = eq if b is None else (b | eq)
+            cond = cond & b
+        fr = self.index.postings.where(cond)
+
+        n = float(self.index.n_docs)
+        avg = self.index.avg_len(fld)
+        tf = F.col("tf").cast("double")
+        denom = tf + F.lit(m.k1) * (
+            F.lit(1.0 - m.b) + F.lit(m.b) * F.col("doc_len") / F.lit(avg)
+        )
+        idf_col, ti_col = None, None
+        for i, t in items:
+            df, _ctf = self.term_stats.get((t.term, fld), (0, 0))
+            idf = max(0.0, math.log((n - df + 0.5) / (df + 0.5))) if avg > 0 else 0.0
+            match = F.col("term") == t.term
+            idf_col = (
+                F.when(match, F.lit(idf))
+                if idf_col is None
+                else idf_col.when(match, F.lit(idf))
+            )
+            ti_col = (
+                F.when(match, F.lit(i)) if ti_col is None else ti_col.when(match, F.lit(i))
+            )
+        return fr.select(
+            "doc_id",
+            ti_col.alias("__ti"),
+            (idf_col * tf / denom).alias("score"),
+        )
 
     # -- score expressions ---------------------------------------------
 

@@ -90,3 +90,28 @@ def test_wand_pruned_path_prunes_buckets_per_term(spark, disk_index):
     assert set(expected_buckets.values()) <= got, (expected_buckets, got)
     # and the scans carry the pushed term filters too
     assert "PartitionFilters" in plan and "PushedFilters" in plan
+
+
+def test_batched_sum_scan_prunes_bucket_union(spark, disk_index):
+    """The single-scan long-query BM25 path pushes an OR of constant
+    per-term bucket equalities — partition pruning reads only the union
+    of the terms' bucket dirs, and one FileScan serves all terms."""
+    import re
+
+    idx, _ = disk_index
+    eng = SearchEngine(idx)
+    q = "cerim dirim barim batok balan"  # 5 terms -> agg/batch path
+    plan = (
+        eng.scores(q, model="bm25")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan") == 1, f"expected ONE postings scan:\n{plan[:1500]}"
+    assert "PartitionFilters" in plan
+    consts = re.findall(r"bucket#\d+ = (\d+)", plan)
+    expected = {
+        int(spark.sql(f"SELECT pmod(xxhash64('{t}'), {idx.n_buckets}) AS b").first()["b"])
+        for t in q.split()
+    }
+    assert expected == {int(c) for c in consts}, (expected, consts)

@@ -6,11 +6,19 @@
   summed left-to-right so an ANSI-SQL oracle reproduces the doubles
   bit-for-bit.
 - ``lsh_bucket_topk``: the scale path — random-hyperplane LSH buckets
-  (deterministic planes from a seeded RNG, broadcast as literals);
+  (deterministic planes from a seeded RNG, inlined as literals);
   candidates share >=1 of ``n_tables`` bucket keys, then exact cosine
   re-ranks. Probe cost ~ bucket size x n_tables instead of corpus
-  size. Recall<1 by construction; verified against brute force in
-  tests.
+  size. Recall<1 by construction; verified against brute force AND
+  value-for-value against a DuckDB oracle that replays the same seeded
+  planes (gate ``ann_lsh_topk``).
+
+Plane shipping: at dim<=128 the literal arrays are a few hundred KB of
+plan text — cheap, and they keep the whole bucket computation inside
+whole-stage codegen. At word2vec-scale dims (768+), switch the bucket
+step to a pandas UDF whose closure captures the (n_tables, bits, dim)
+plane tensor — Spark broadcasts the serialized closure once per
+executor and the signs come from one numpy matmul per batch.
 """
 
 from __future__ import annotations

@@ -99,12 +99,16 @@ def _dl(f: str) -> str:
 
 
 class Compiler:
-    def __init__(self, index: InvertedIndex, model, agg_threshold: int = 4):
+    def __init__(self, index: InvertedIndex, model, agg_threshold: int = 1):
         self.index = index
         self.model = model
         self.term_stats: dict[tuple[str, str], tuple[int, int]] = {}
-        # bag-of-words #SUM queries longer than this use the union+agg
-        # physical strategy instead of k-way joins
+        # bag-of-words #SUM queries longer than this use the batched-scan
+        # union+agg physical strategy (ONE term-IN scan per field + one
+        # shuffle) instead of k-way joins. The term-order fold makes it
+        # bit-identical to the join path (test_agg_strategy pins this),
+        # so it is the default for every multi-term query; raise the
+        # threshold to force the join shape (plan tests do).
         self.agg_threshold = agg_threshold
 
     # ------------------------------------------------------------------

@@ -26,38 +26,30 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from searchengine_spark.analyzer import tokenize_udf
-from searchengine_spark.index.build import _bucket_entry, _manifest_dir, _encode_positions_udf
+from searchengine_spark.index.build import (
+    POSTING_ROW_SCHEMA,
+    _bucket_entry,
+    _doc_postings_gen,
+    _manifest_dir,
+)
 
 PAGE_SCHEMA = "doc_id long, url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def _batch_rows(docs: DataFrame, field: str = "body", src_col: str = "text",
+                analyzer: str = "english") -> DataFrame:
+    """Fused tokenize+positions+encode rows (incl. term='' doc_len
+    sentinels) — the same shuffle-free kernel as the batch build."""
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(src_col).cast("string").alias("__src"),
+    ).mapInPandas(_doc_postings_gen(analyzer, field, "__src"), POSTING_ROW_SCHEMA)
 
 
 def batch_postings(docs: DataFrame, field: str = "body", src_col: str = "text",
                    analyzer: str = "english") -> DataFrame:
     """Same tokenize->postings transform as the batch build, per batch."""
-    tok = tokenize_udf(analyzer)
-    toks = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        tok(F.col(src_col).cast("string")).alias("toks"),
-    ).select("doc_id", "toks", F.size("toks").alias("doc_len"))
-    return (
-        toks.select("doc_id", "doc_len", F.posexplode("toks").alias("pos", "term"))
-        .where(F.col("term") != "")
-        .groupBy("term", "doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("tf"),
-            F.first("doc_len").cast("int").alias("doc_len"),
-            F.sort_array(F.collect_list("pos")).alias("pos_arr"),
-        )
-        .select(
-            "term",
-            F.lit(field).alias("field"),
-            "doc_id",
-            "tf",
-            "doc_len",
-            _encode_positions_udf("pos_arr").alias("positions"),
-        )
-    )
+    return _batch_rows(docs, field, src_col, analyzer).where(F.col("term") != "")
 
 
 def start_ingest(
@@ -81,21 +73,16 @@ def start_ingest(
     just leaves the trigger default.
     """
     stream = spark.readStream.schema(PAGE_SCHEMA).parquet(input_dir)
-    tok = tokenize_udf(analyzer)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.persist()
+        rows = _batch_rows(batch_df, field=field, analyzer=analyzer).persist()
         try:
             out = os.path.join(index_dir, "delta", f"batch={batch_id}")
-            batch_postings(batch_df, field=field, analyzer=analyzer).write.mode(
-                "overwrite"
-            ).parquet(out)
-            lens = batch_df.select(
-                F.col("doc_id").cast("long").alias("doc_id"),
-                F.lit(field).alias("field"),
-                F.size(tok(F.col("text").cast("string"))).cast("int").alias("doc_len"),
-            ).where(F.col("doc_len") > 0)
-            lens.write.mode("overwrite").parquet(
+            rows.where(F.col("term") != "").write.mode("overwrite").parquet(out)
+            # doc_len sentinels from the same pass — no second tokenize
+            rows.where((F.col("term") == "") & (F.col("doc_len") > 0)).select(
+                "doc_id", "field", "doc_len"
+            ).write.mode("overwrite").parquet(
                 os.path.join(index_dir, "delta_doc_stats", f"batch={batch_id}")
             )
             batch_df.select(
@@ -105,7 +92,7 @@ def start_ingest(
                 os.path.join(index_dir, "delta_docs", f"batch={batch_id}")
             )
         finally:
-            batch_df.unpersist()
+            rows.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

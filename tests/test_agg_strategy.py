@@ -36,10 +36,24 @@ def test_agg_equals_join_strategy(pages_index, py_index):
         assert agg_scores[d] == pytest.approx(s, rel=1e-9)
 
 
-def test_agg_path_not_used_for_short_queries(pages_index):
+def test_default_short_query_uses_single_scan_fold(pages_index):
+    """Default compiler: even a 2-term bag-of-words BM25 query takes the
+    batched-scan fold path (one scan, one shuffle, no join)."""
     eng = SearchEngine(pages_index)
     m = BM25()
     ast = eng.parse("barim batok", m)
-    comp = Compiler(pages_index, m)  # default threshold 4 -> 2-term query joins
+    comp = Compiler(pages_index, m)
     plan = comp.compile(ast)._jdf.queryExecution().executedPlan().toString()
-    assert "FullOuter" in plan or "SortMergeJoin" in plan or "Join" in plan
+    assert "Join" not in plan
+    assert "aggregate(array_sort" in plan or "collect_list" in plan
+
+    # raising the threshold forces the k-way-join shape (the
+    # float-reproducibility reference plan)
+    jplan = (
+        Compiler(pages_index, m, agg_threshold=100)
+        .compile(ast)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FullOuter" in jplan or "SortMergeJoin" in jplan or "Join" in jplan

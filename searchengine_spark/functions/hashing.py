@@ -42,8 +42,3 @@ def shingles(toks_col_name: str, n: int = 3) -> Column:
 def band_key(minhash_cols: list[Column]) -> Column:
     """LSH band key: md5 of the concatenated member min-hashes."""
     return F.md5(F.concat_ws("|", *minhash_cols))
-
-
-def hash32(col: Column) -> Column:
-    """First 32 bits of md5 as a non-negative bigint (portable)."""
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")

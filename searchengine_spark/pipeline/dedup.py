@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from searchengine_spark.functions.hashing import band_key, hash32, shingles, tokens
+from searchengine_spark.functions.hashing import band_key, shingles, tokens
 
 DEFAULT_HASHES = 8
 DEFAULT_BANDS = 4
@@ -265,42 +265,59 @@ def simhash_values(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 
     The 64-bit signature is built as two salted 32-bit md5 halves so
     every value stays < 2^32 (no signed-long overflow in Spark, DuckDB,
-    or parquet). One explode + one partial/final aggregation; the 64
-    per-bit sums are plain conditional aggregates (all codegen, no UDF).
+    or parquet) — identical bit definitions to the DuckDB oracle.
+
+    A signature is a per-doc quantity, so the whole computation runs in
+    ONE shuffle-free Arrow pass (tokenize + tf + per-bit ±tf sums inside
+    the task that owns the doc); the explode->groupBy alternative
+    shuffles token-level rows twice. Per-token ±1 bit vectors are
+    memoized per batch — the corpus vocabulary is tiny relative to the
+    token stream.
 
     32 bits banded into 8-bit keys caps LSH at 256 buckets/band — a
     quadratic self-join at web scale; 64 bits with 16-bit bands keeps
     the pigeonhole guarantee for hamming<=3 with 65536x more buckets.
     """
-    toks = (
-        df.select(F.col(id_col).cast("long").alias("id"), tokens(text_col).alias("__toks"))
-        .select("id", F.explode("__toks").alias("tok"))
-        .groupBy("id", "tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .withColumn("h_lo", hash32(F.concat(F.lit("0:"), F.col("tok"))))
-        .withColumn("h_hi", hash32(F.concat(F.lit("1:"), F.col("tok"))))
-    )
-    bit_sums = []
-    for half in ("lo", "hi"):
-        for j in range(_HALF):
-            bit_sums.append(
-                F.sum(
-                    F.col("tf")
-                    * (F.shiftright(F.col(f"h_{half}"), j).bitwiseAND(F.lit(1)) * 2 - 1)
-                ).alias(f"s_{half}_{j}")
-            )
-    agg = toks.groupBy("id").agg(*bit_sums)
-    halves = {}
-    for half in ("lo", "hi"):
-        sim = F.lit(0).cast("long")
-        for j in range(_HALF):
-            sim = sim + F.when(
-                F.col(f"s_{half}_{j}") > 0, F.lit(2**j).cast("long")
-            ).otherwise(F.lit(0))
-        halves[half] = sim
-    return agg.select(
-        "id", halves["hi"].alias("simhash_hi"), halves["lo"].alias("simhash_lo")
-    )
+    import hashlib
+    import re
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+
+    token_re = re.compile("[a-z0-9]+")
+    weights = np.power(2, np.arange(_HALF, dtype=np.int64))
+
+    def gen(batches):
+        cache: dict[str, np.ndarray] = {}
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for i, text in zip(pdf["id"], pdf["__text"]):
+                toks = token_re.findall(text.lower()) if isinstance(text, str) else []
+                if not toks:
+                    continue  # explode semantics: token-less docs have no row
+                sums = np.zeros(2 * _HALF, dtype=np.int64)
+                for t, c in Counter(toks).items():
+                    vec = cache.get(t)
+                    if vec is None:
+                        h_lo = int(hashlib.md5(("0:" + t).encode()).hexdigest()[:8], 16)
+                        h_hi = int(hashlib.md5(("1:" + t).encode()).hexdigest()[:8], 16)
+                        bits = [(h_lo >> j) & 1 for j in range(_HALF)] + [
+                            (h_hi >> j) & 1 for j in range(_HALF)
+                        ]
+                        vec = np.array(bits, dtype=np.int64) * 2 - 1
+                        cache[t] = vec
+                    sums += c * vec
+                lo = int(((sums[:_HALF] > 0).astype(np.int64) * weights).sum())
+                hi = int(((sums[_HALF:] > 0).astype(np.int64) * weights).sum())
+                ids.append(int(i))
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame({"id": ids, "simhash_hi": his, "simhash_lo": los})
+
+    return df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("__text")
+    ).mapInPandas(gen, "id long, simhash_hi long, simhash_lo long")
 
 
 def simhash_pairs(

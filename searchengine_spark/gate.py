@@ -1230,6 +1230,35 @@ WHERE rank <= 10 ORDER BY rank
 """,
     )
 
+    # --- forward-index (TermVector) scan: stems+tfs of one doc ---
+    r["term_vector_doc"] = (
+        lambda spark, sf: engine_for(spark, sf)
+        .index.postings.where((F.col("doc_id") == 7) & (F.col("field") == "body"))
+        .select("term", F.col("tf").cast("long").alias("tf"))
+        .orderBy("term"),
+        f"""
+WITH tok AS (SELECT doc_id, {TOK} AS toks FROM documents)
+SELECT t AS term, CAST(count(*) AS BIGINT) AS tf
+FROM (SELECT doc_id, unnest(toks) AS t FROM tok)
+WHERE doc_id = 7 GROUP BY t ORDER BY term
+""",
+    )
+
+    # --- metadata (getAttribute) scan: docs-table attribute lookup ---
+    r["doc_metadata"] = (
+        lambda spark, sf: engine_for(spark, sf)
+        .index.docs.where(F.col("doc_id") < 5)
+        .select(
+            "doc_id", "ext_id", F.col("n_chars").cast("long").alias("n_chars"), "lang"
+        )
+        .orderBy("doc_id"),
+        """
+SELECT doc_id, CAST(doc_id AS VARCHAR) AS ext_id,
+       CAST(n_chars AS BIGINT) AS n_chars, lang
+FROM documents WHERE doc_id < 5 ORDER BY doc_id
+""",
+    )
+
     def _prf_end_to_end(spark: SparkSession, sf: str) -> DataFrame:
         """Entry-point-2 loop: expand 'dup spark' with Indri PRF, run the
         rewritten #wand query to a final ranking (QryExpand.java:133-146)."""

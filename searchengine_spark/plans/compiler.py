@@ -233,6 +233,11 @@ class Compiler:
         ):
             return self._sum_by_aggregation(node)
 
+        if isinstance(m, Indri):
+            flat = self._indri_flat_strategy(node)
+            if flat is not None:
+                return flat
+
         children = [self.compile_sop(a) for a in node.args]
         k = len(children)
         indri = isinstance(m, Indri)
@@ -329,6 +334,150 @@ class Compiler:
             ).alias("score")
         )
         return ScoreResult(out, frozenset(by_field))
+
+    def _indri_flat_strategy(self, node: SopNode) -> ScoreResult | None:
+        """Flat single-field Indri #AND/#OR/#WAND/#WSUM over distinct term
+        leaves: ONE ``term IN (...)`` scan + ONE groupBy instead of k-1
+        full-outer joins. Per-doc, the collected (term_index, score)
+        pairs reassemble into a map; a missing term falls back to its
+        default-score expression using the doc length carried by any
+        present term's row (same field). Every float op replicates the
+        join path's operand order, so scores are bit-identical — the
+        Indri gate oracles pin this.
+
+        Returns None when the shape doesn't apply (nested args, multiple
+        fields, duplicate terms, degenerate stats) — the generic join
+        path is the fallback.
+        """
+        m = self.model
+        if node.op not in ("and", "or", "wand", "wsum") or len(node.args) < 2:
+            return None
+        if not all(
+            a.op == "score" and isinstance(a.args[0], TermNode) for a in node.args
+        ):
+            return None
+        terms = [a.args[0] for a in node.args]
+        fld = terms[0].field
+        if any(t.field != fld for t in terms):
+            return None
+        names = [t.term for t in terms]
+        if len(set(names)) != len(names):
+            return None
+        collen = float(self.index.sum_len(fld))
+        if collen <= 0:
+            return None
+
+        k = len(terms)
+        ps, p_defs = [], []
+        for t in terms:
+            _df, ctf = self.term_stats.get((t.term, fld), (0, 0))
+            ps.append(ctf / collen)
+            ctf_def = float(ctf) if ctf >= 1.0 else 0.5
+            p_defs.append(ctf_def / collen)
+
+        cond = (F.col("field") == fld) & F.col("term").isin(names)
+        if self.index.n_buckets:
+            b = None
+            for t in names:
+                eq = F.col("bucket") == F.pmod(
+                    F.xxhash64(F.lit(t)), F.lit(self.index.n_buckets)
+                )
+                b = eq if b is None else (b | eq)
+            cond = cond & b
+        fr = self.index.postings.where(cond)
+
+        tf = F.col("tf").cast("double")
+        dl_row = F.col("doc_len").cast("double")
+        p_col, ti_col = None, None
+        for i, t in enumerate(names):
+            match = F.col("term") == t
+            p_col = (
+                F.when(match, F.lit(ps[i]))
+                if p_col is None
+                else p_col.when(match, F.lit(ps[i]))
+            )
+            ti_col = (
+                F.when(match, F.lit(i)) if ti_col is None else ti_col.when(match, F.lit(i))
+            )
+        leaf_score = (
+            F.lit(1.0 - m.lam) * (tf + F.lit(m.mu) * p_col) / (dl_row + F.lit(m.mu))
+            + F.lit(m.lam) * p_col
+        )
+        rows = fr.select(
+            "doc_id", ti_col.alias("__ti"), leaf_score.alias("__s"), F.col("doc_len")
+        )
+        grouped = rows.groupBy("doc_id").agg(
+            F.map_from_entries(F.collect_list(F.struct("__ti", "__s"))).alias("__m"),
+            F.max("doc_len").alias("__gdl"),
+        )
+        dlc = F.col("__gdl").cast("double")
+
+        def leaf_default(dl_col: Column, i: int) -> Column:
+            return (
+                F.lit(1.0 - m.lam)
+                * (F.lit(0.0) + F.lit(m.mu) * F.lit(p_defs[i]))
+                / (dl_col + F.lit(m.mu))
+                + F.lit(m.lam) * F.lit(p_defs[i])
+            )
+
+        eff = [
+            F.coalesce(F.element_at(F.col("__m"), F.lit(i)), leaf_default(dlc, i))
+            for i in range(k)
+        ]
+        weights = list(node.weights) if node.weights else [1.0] * k
+        total = sum(weights)
+
+        if node.op == "and":
+            prod = eff[0]
+            for x in eff[1:]:
+                prod = prod * x
+            score = F.pow(prod, F.lit(1.0 / k))
+        elif node.op == "or":
+            prod = F.lit(1.0) - eff[0]
+            for x in eff[1:]:
+                prod = prod * (F.lit(1.0) - x)
+            score = prod
+        elif node.op == "wand":
+            prod = F.pow(eff[0], F.lit(weights[0] / total))
+            for i in range(1, k):
+                prod = prod * F.pow(eff[i], F.lit(weights[i] / total))
+            score = prod
+        else:  # wsum
+            score = eff[0] * F.lit(weights[0]) / F.lit(total)
+            for i in range(1, k):
+                score = score + eff[i] * F.lit(weights[i]) / F.lit(total)
+
+        op = node.op
+
+        def dfn(dlmap, _op=op, _w=weights, _total=total, _k=k):
+            d = dlmap[fld].cast("double")
+            defs = [leaf_default(d, i) for i in range(_k)]
+            if _op == "and":
+                prod = defs[0]
+                for x in defs[1:]:
+                    prod = prod * x
+                return F.pow(prod, F.lit(1.0 / _k))
+            if _op == "or":
+                prod = F.lit(1.0) - defs[0]
+                for x in defs[1:]:
+                    prod = prod * (F.lit(1.0) - x)
+                return prod
+            if _op == "wand":
+                prod = F.pow(defs[0], F.lit(_w[0] / _total))
+                for i in range(1, _k):
+                    prod = prod * F.pow(defs[i], F.lit(_w[i] / _total))
+                return prod
+            acc = defs[0] * F.lit(_w[0]) / F.lit(_total)
+            for i in range(1, _k):
+                acc = acc + defs[i] * F.lit(_w[i]) / F.lit(_total)
+            return acc
+
+        out = grouped.select(
+            F.col("doc_id"),
+            score.cast("double").alias("score"),
+            F.col("__gdl").alias(_dl(fld)),
+        )
+        return ScoreResult(out, frozenset([fld]), dfn)
 
     def _bm25_batch_scan(self, fld: str, items: list) -> DataFrame:
         """(doc_id, __ti, score) for several distinct terms of one field

@@ -57,3 +57,27 @@ def test_default_short_query_uses_single_scan_fold(pages_index):
         .toString()
     )
     assert "FullOuter" in jplan or "SortMergeJoin" in jplan or "Join" in jplan
+
+
+def test_flat_indri_single_scan_no_joins(pages_index, py_index):
+    """Flat single-field Indri ops compile to one scan + one groupBy (no
+    k-way full-outer join chain) and stay score-identical to the oracle."""
+    from searchengine_spark.plans.models import Indri
+
+    eng = SearchEngine(pages_index)
+    m = Indri(mu=1500.0, lam=0.3)
+    ast = eng.parse("#wand(0.4 barim 0.3 cerim 0.2 dirim 0.1 batok)", m)
+    comp = Compiler(pages_index, m)
+    df = comp.compile(ast)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:1500]
+    got = {int(r["doc_id"]): float(r["score"]) for r in df.collect()}
+    expected = dict(orc.search(py_index, ast, m, k=10**9))
+    assert set(got) == set(expected)
+    for d, s in expected.items():
+        assert got[d] == pytest.approx(s, rel=1e-12), d
+
+    # nested args fall back to the join path (still correct per gates)
+    ast2 = eng.parse("#wand(0.6 #and(barim cerim) 0.4 dirim)", m)
+    plan2 = comp.compile(ast2)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan2

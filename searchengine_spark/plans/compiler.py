@@ -159,11 +159,18 @@ class Compiler:
             st = self.term_stats.get((node.term, node.field))
             return IopResult(fr, node.field, _stats=st, _temps=self.index._temps)
 
-        children = [self.compile_iop(a) for a in node.args]
+        flat_items = self._flat_term_items(node.args)
+        k = len(node.args)
+
         if node.op == "syn":
-            u = children[0].frame
-            for c in children[1:]:
-                u = u.unionByName(c.frame)
+            if flat_items is not None:
+                # ONE term-IN scan feeds the union directly
+                u = self._iop_batch_rows(flat_items).drop("__ti")
+            else:
+                children = [self.compile_iop(a) for a in node.args]
+                u = children[0].frame
+                for c in children[1:]:
+                    u = u.unionByName(c.frame)
             fr = (
                 u.groupBy("doc_id")
                 .agg(
@@ -175,20 +182,38 @@ class Compiler:
             )
             return IopResult(fr, node.field, _temps=self.index._temps)
 
-        # near / window: k-way inner join on doc_id + positional merge
-        k = len(children)
-        joined = children[0].frame.select(
-            "doc_id", "doc_len", F.col("positions").alias("__p0")
-        )
-        for i, c in enumerate(children[1:], start=1):
-            joined = joined.join(
-                c.frame.select("doc_id", F.col("positions").alias(f"__p{i}")),
-                on="doc_id",
-                how="inner",
+        # near / window: co-locate the k position lists per doc, then the
+        # Arrow merge kernel. Flat distinct-term args: ONE scan + ONE
+        # groupBy (map of __ti -> positions, match-ALL via map size);
+        # nested args fall back to the k-way inner-join chain.
+        if flat_items is not None:
+            rows = self._iop_batch_rows(flat_items)
+            joined = (
+                rows.groupBy("doc_id")
+                .agg(
+                    F.map_from_entries(
+                        F.collect_list(F.struct("__ti", "positions"))
+                    ).alias("__pm"),
+                    F.max("doc_len").alias("doc_len"),
+                )
+                .where(F.size("__pm") == k)
             )
+            pcols = [F.element_at(F.col("__pm"), F.lit(i)) for i in range(k)]
+        else:
+            children = [self.compile_iop(a) for a in node.args]
+            joined = children[0].frame.select(
+                "doc_id", "doc_len", F.col("positions").alias("__p0")
+            )
+            for i, c in enumerate(children[1:], start=1):
+                joined = joined.join(
+                    c.frame.select("doc_id", F.col("positions").alias(f"__p{i}")),
+                    on="doc_id",
+                    how="inner",
+                )
+            pcols = [F.col(f"__p{i}") for i in range(k)]
         merge = positional_merge_udf(node.op, node.dist, k)
         fr = (
-            joined.withColumn("__m", merge(*[F.col(f"__p{i}") for i in range(k)]))
+            joined.withColumn("__m", merge(*pcols))
             .where(F.col("__m.tf") > 0)
             .select(
                 "doc_id",
@@ -198,6 +223,41 @@ class Compiler:
             )
         )
         return IopResult(fr, node.field, _temps=self.index._temps)
+
+    def _flat_term_items(self, args) -> list | None:
+        """[(arg_index, TermNode)] when every arg is a distinct-term
+        TermNode of one field (the single-scan-able shape), else None."""
+        if len(args) < 2 or not all(isinstance(a, TermNode) for a in args):
+            return None
+        fld = args[0].field
+        names = [a.term for a in args]
+        if any(a.field != fld for a in args) or len(set(names)) != len(names):
+            return None
+        return list(enumerate(args))
+
+    def _iop_batch_rows(self, items: list) -> DataFrame:
+        """(doc_id, __ti, tf, doc_len, positions) for several distinct
+        terms of one field from a single bucket-pruned scan."""
+        fld = items[0][1].field
+        names = [t.term for _, t in items]
+        cond = (F.col("field") == fld) & F.col("term").isin(names)
+        if self.index.n_buckets:
+            b = None
+            for t in names:
+                eq = F.col("bucket") == F.pmod(
+                    F.xxhash64(F.lit(t)), F.lit(self.index.n_buckets)
+                )
+                b = eq if b is None else (b | eq)
+            cond = cond & b
+        ti_col = None
+        for i, t in items:
+            match = F.col("term") == t.term
+            ti_col = (
+                F.when(match, F.lit(i)) if ti_col is None else ti_col.when(match, F.lit(i))
+            )
+        return self.index.postings.where(cond).select(
+            "doc_id", ti_col.alias("__ti"), "tf", "doc_len", "positions"
+        )
 
     # ------------------------------------------------------------------
     # Sop compilation
@@ -235,6 +295,10 @@ class Compiler:
 
         if isinstance(m, Indri):
             flat = self._indri_flat_strategy(node)
+            if flat is not None:
+                return flat
+        if isinstance(m, (RankedBoolean, UnrankedBoolean)):
+            flat = self._bool_flat_strategy(node)
             if flat is not None:
                 return flat
 
@@ -478,6 +542,46 @@ class Compiler:
             F.col("__gdl").alias(_dl(fld)),
         )
         return ScoreResult(out, frozenset([fld]), dfn)
+
+    def _bool_flat_strategy(self, node: SopNode) -> ScoreResult | None:
+        """Flat Boolean ops over distinct same-field term leaves: one
+        scan + one groupBy. match-ALL (#AND/#WAND/#WSUM) filters on the
+        per-doc matched-term count; scores are min/max over the
+        reassembled tf map — identical values to the join path (min/max
+        are order-exact)."""
+        m = self.model
+        if node.op not in ("and", "or", "wand", "wsum") or len(node.args) < 2:
+            return None
+        if not all(
+            a.op == "score" and isinstance(a.args[0], TermNode) for a in node.args
+        ):
+            return None
+        items = self._flat_term_items([a.args[0] for a in node.args])
+        if items is None:
+            return None
+        fld = items[0][1].field
+        k = len(items)
+
+        rows = self._iop_batch_rows(items).select(
+            "doc_id", "__ti", F.col("tf").cast("double").alias("__s")
+        )
+        g = rows.groupBy("doc_id").agg(
+            F.map_from_entries(F.collect_list(F.struct("__ti", "__s"))).alias("__m")
+        )
+        match_all = node.op != "or"
+        if match_all:
+            g = g.where(F.size("__m") == k)
+        e = [F.element_at(F.col("__m"), F.lit(i)) for i in range(k)]
+        if isinstance(m, UnrankedBoolean):
+            score = F.lit(1.0)
+        elif match_all:
+            # QrySopAnd/WAnd/WSum: min over args
+            score = F.least(*e)
+        else:
+            cs = [F.coalesce(x, F.lit(0.0)) for x in e]
+            score = F.greatest(*cs)
+        out = g.select("doc_id", score.cast("double").alias("score"))
+        return ScoreResult(out, frozenset([fld]))
 
     def _bm25_batch_scan(self, fld: str, items: list) -> DataFrame:
         """(doc_id, __ti, score) for several distinct terms of one field

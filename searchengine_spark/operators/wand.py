@@ -47,23 +47,21 @@ def _idfs(index: InvertedIndex, terms: list[str], field: str) -> dict[str, float
 
 
 def _term_scans(index: InvertedIndex, terms: list[str], field: str):
-    """Union of per-term postings scans so each scan keeps its
-    constant-folded bucket partition filter on a persisted index
-    (a single ``term.isin`` filter cannot prune bucket directories)."""
-    cols = ["term", "doc_id", "tf", "doc_len"]
-    frames = []
-    for t in terms:
-        cond = (F.col("term") == t) & (F.col("field") == field)
-        if index.n_buckets:
-            cond = cond & (
-                F.col("bucket")
-                == F.pmod(F.xxhash64(F.lit(t)), F.lit(index.n_buckets))
+    """ONE postings scan for all terms. The OR of constant-foldable
+    per-term bucket equalities still prunes partitions to the union of
+    the terms' bucket directories (pinned by tests/test_pruning.py), so
+    the single scan reads the same files as the per-term union did —
+    once instead of k times."""
+    cond = (F.col("field") == field) & F.col("term").isin(list(terms))
+    if index.n_buckets:
+        b = None
+        for t in terms:
+            eq = F.col("bucket") == F.pmod(
+                F.xxhash64(F.lit(t)), F.lit(index.n_buckets)
             )
-        frames.append(index.postings.where(cond).select(*cols))
-    out = frames[0]
-    for fr in frames[1:]:
-        out = out.unionByName(fr)
-    return out
+            b = eq if b is None else (b | eq)
+        cond = cond & b
+    return index.postings.where(cond).select("term", "doc_id", "tf", "doc_len")
 
 
 def _idf_col(idfs: dict[str, float]):

@@ -53,11 +53,13 @@ def run(param_file: str, spark=None) -> str:
         # way and calls Idx.getInternalDocid). Unresolvable numeric ids
         # fall back to an int parse (synthetic fixtures).
         run_df = read_run_file(spark, cfg.fb["initial_ranking_file"])
-        # broadcast the (small) run file; the corpus-sized docs table
-        # streams through the broadcast join without shuffling
+        # right-outer with the run file as the broadcast build side: the
+        # corpus-sized docs table streams through without shuffling, and
+        # run rows with unknown ext_ids survive (doc_id null). A LEFT
+        # join couldn't broadcast its preserved left side.
         mapped = (
-            F.broadcast(run_df)
-            .join(idx.docs.select("ext_id", F.col("doc_id").alias("__did")), on="ext_id", how="left")
+            idx.docs.select("ext_id", F.col("doc_id").alias("__did"))
+            .join(F.broadcast(run_df), on="ext_id", how="right")
             .orderBy("qid", "rank")
         )
         for r in mapped.collect():

@@ -132,23 +132,28 @@ class InvertedIndex:
     # bucket`` predicate so only 1/n of the files are read.
     n_buckets: int | None = None
 
+    # build-time tokenize caches (freed by materialize) and per-query
+    # derived-operator caches (bounded by trim_temps) are SEPARATE lists:
+    # a shared FIFO would let query traffic evict the build caches that
+    # doc_stats still reads.
+    _build_temps: list = dc_field(default_factory=list)
     _temps: list = dc_field(default_factory=list)
 
     def materialize(self) -> int:
-        """Force the postings build and drop intermediate caches."""
+        """Force the postings build and drop intermediate build caches."""
         n = self.postings.count()
-        for fr in self._temps:
+        for fr in self._build_temps:
             try:
                 fr.unpersist()
             except Exception:
                 pass
-        self._temps = []
+        self._build_temps = []
         return n
 
     def trim_temps(self, max_keep: int = 16) -> None:
-        """Bound the cached-frame registry (derived NEAR/WINDOW frames
-        persisted for stats): unpersist the oldest beyond ``max_keep`` so
-        executor storage stays O(1) in a long-lived query session."""
+        """Bound the derived-frame registry (NEAR/WINDOW frames persisted
+        for stats): unpersist the oldest beyond ``max_keep`` so executor
+        storage stays O(1) in a long-lived query session."""
         while len(self._temps) > max_keep:
             fr = self._temps.pop(0)
             try:
@@ -277,7 +282,7 @@ def build_index(
         analyzer=analyzer,
         fields=tuple(fields),
         block_range=block_range,
-        _temps=temps,
+        _build_temps=temps,
     )
 
 

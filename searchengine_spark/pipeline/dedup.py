@@ -88,6 +88,16 @@ def jaccard_pairs_vs_seeds(
 SHINGLE_HASH = "transform({col}, s -> cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint))"
 
 
+def _signature_aggs(n_hashes: int) -> list:
+    """The one place the MinHash definition lives: n_hashes salted
+    ``min(md5(i || ':' || shingle))`` aggregates (mirrored verbatim by
+    the gate oracle's mh_cols SQL)."""
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -104,11 +114,7 @@ def minhash_signatures(
     """
     sh = _with_shingles(df, id_col, text_col, n).persist()
     ex = sh.select("id", F.explode("__sh").alias("s"))
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh_{i}")
-        for i in range(n_hashes)
-    ]
-    return ex.groupBy("id").agg(*aggs).join(sh, on="id")
+    return ex.groupBy("id").agg(*_signature_aggs(n_hashes)).join(sh, on="id")
 
 
 def minhash_lsh_pairs(
@@ -135,11 +141,7 @@ def minhash_lsh_pairs(
     rows_per_band = n_hashes // n_bands
     sh = _with_shingles(df, id_col, text_col, n).persist()
     ex = sh.select("id", F.explode("__sh").alias("s"))
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh_{i}")
-        for i in range(n_hashes)
-    ]
-    sig = ex.groupBy("id").agg(*aggs)
+    sig = ex.groupBy("id").agg(*_signature_aggs(n_hashes))
 
     bands = []
     for b in range(n_bands):
@@ -183,6 +185,15 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    # materialize the (tiny) verified pair set, then release the cached
+    # shingle/candidate frames — otherwise every call pins corpus-sized
+    # storage for the life of the session
+    verified = verified.localCheckpoint(eager=True)
+    for fr in (sh, cand, shh):
+        try:
+            fr.unpersist()
+        except Exception:
+            pass
     return verified
 
 
@@ -279,21 +290,22 @@ def simhash_values(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     the pigeonhole guarantee for hamming<=3 with 65536x more buckets.
     """
     import hashlib
-    import re
     from collections import Counter
 
     import numpy as np
     import pandas as pd
 
-    token_re = re.compile("[a-z0-9]+")
+    from searchengine_spark.analyzer import get_analyzer
+
     weights = np.power(2, np.arange(_HALF, dtype=np.int64))
 
     def gen(batches):
+        an = get_analyzer("simple")  # the ONE tokenizer (CLAUDE.md invariant)
         cache: dict[str, np.ndarray] = {}
         for pdf in batches:
             ids, his, los = [], [], []
             for i, text in zip(pdf["id"], pdf["__text"]):
-                toks = token_re.findall(text.lower()) if isinstance(text, str) else []
+                toks = an.terms(text) if isinstance(text, str) else []
                 if not toks:
                     continue  # explode semantics: token-less docs have no row
                 sums = np.zeros(2 * _HALF, dtype=np.int64)

@@ -232,12 +232,14 @@ def _compact_persisted(spark: SparkSession, index_dir: str, meta_path: str) -> N
     ds_tmp = os.path.join(index_dir, "doc_stats.compact")
     doc_stats.write.mode("overwrite").parquet(ds_tmp)
 
-    # docs table: base ∪ delta_docs (ext_id falls back to the doc_id
-    # string for legacy deltas that carried no docs segment)
+    # docs table: base ∪ delta_docs, keeping every base metadata column
+    # (n_chars/lang/... — getAttribute reads them); delta rows carry only
+    # (doc_id, ext_id) and ext_id falls back to the doc_id string for
+    # legacy deltas that carried no docs segment
     docs_frames = []
     base_docs = os.path.join(index_dir, "docs")
     if os.path.isdir(base_docs):
-        docs_frames.append(spark.read.parquet(base_docs).select("doc_id", "ext_id"))
+        docs_frames.append(spark.read.parquet(base_docs))
     delta_docs = _delta_union(spark, index_dir, "delta_docs")
     if delta_docs is None:
         delta_post = _delta_union(spark, index_dir, "delta")
@@ -249,15 +251,17 @@ def _compact_persisted(spark: SparkSession, index_dir: str, meta_path: str) -> N
         docs_frames.append(delta_docs.select("doc_id", "ext_id"))
     docs = docs_frames[0]
     for fr in docs_frames[1:]:
-        docs = docs.unionByName(fr)
+        docs = docs.unionByName(fr, allowMissingColumns=True)
     docs = docs.dropDuplicates(["doc_id"])
     docs_tmp = os.path.join(index_dir, "docs.compact")
     docs.write.mode("overwrite").parquet(docs_tmp)
 
     new_ds = spark.read.parquet(ds_tmp)
+    # count from the merged docs table — doc_stats excludes zero-length
+    # docs, so counting its distinct ids would undercount N (and skew idf)
     n_docs = max(
         int(meta.get("n_docs") or 0),
-        new_ds.select("doc_id").distinct().count(),
+        spark.read.parquet(docs_tmp).count(),
     )
     field_stats = {
         r["field"]: {

@@ -224,3 +224,8 @@ def test_compact_persisted_layout_rebuilds_side_tables(spark, stream_dirs, tmp_p
     assert rows and any(int(r["doc_id"]) >= 5000 for r in rows)
     # delta docs resolve real ext ids (delta_docs segment)
     assert all(r["ext_id"].startswith("http://") for r in rows)
+    # base docs-table metadata columns survive compaction (getAttribute)
+    base_cols = set(idx0.docs.columns)
+    assert base_cols <= set(idx.docs.columns), (base_cols, idx.docs.columns)
+    meta_row = idx.docs.where(F.col("doc_id") == 0).first()
+    assert meta_row is not None and meta_row["ext_id"].startswith("http://")

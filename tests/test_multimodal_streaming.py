@@ -229,3 +229,39 @@ def test_compact_persisted_layout_rebuilds_side_tables(spark, stream_dirs, tmp_p
     assert base_cols <= set(idx.docs.columns), (base_cols, idx.docs.columns)
     meta_row = idx.docs.where(F.col("doc_id") == 0).first()
     assert meta_row is not None and meta_row["ext_id"].startswith("http://")
+
+
+def test_stateful_streaming_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState gap sessions == batch sessionize aggregates
+    for every session the watermark closed; only each user's final open
+    session may be withheld."""
+    from searchengine_spark.streaming import sessions as ss
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir, ckpt, out = str(tmp_path / "in"), str(tmp_path / "ck"), str(tmp_path / "out")
+    src.coalesce(1).write.parquet(in_dir)
+
+    q = ss.streaming_sessionize(spark, in_dir, ckpt, out, gap_minutes=30)
+    q.awaitTermination(180)
+
+    got = {
+        (r["user_id"], r["session_seq"]): (
+            r["n_events"], r["session_start"], r["session_end"]
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    expected = {
+        (r["user_id"], r["session_seq"]): (
+            r["n_events"], r["session_start"], r["session_end"]
+        )
+        for r in ss.batch_session_aggregates(src, gap_minutes=30).collect()
+    }
+    assert got, "no sessions emitted"
+    for k, v in got.items():
+        assert expected[k] == v, (k, v, expected[k])
+    # everything except (at most) one open session per user was emitted
+    missing = set(expected) - set(got)
+    per_user_max = {}
+    for u, seq in expected:
+        per_user_max[u] = max(per_user_max.get(u, 0), seq)
+    assert all(seq == per_user_max[u] for u, seq in missing), missing

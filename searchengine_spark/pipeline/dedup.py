@@ -185,10 +185,12 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    # materialize the (tiny) verified pair set, then release the cached
-    # shingle/candidate frames — otherwise every call pins corpus-sized
-    # storage for the life of the session
-    verified = verified.localCheckpoint(eager=True)
+    # materialize the (tiny) verified pair set through the normal AQE
+    # path (localCheckpoint would run the un-adapted RDD plan — measured
+    # 10x slower), then release the cached corpus-sized shingle/candidate
+    # frames; only the small cached result outlives the call
+    verified = verified.persist()
+    verified.count()
     for fr in (sh, cand, shh):
         try:
             fr.unpersist()

@@ -63,12 +63,15 @@ def engine_for(spark: SparkSession, sf_dir: str) -> SearchEngine:
 
 
 def _ranked(scores: DataFrame, k: int) -> DataFrame:
-    """Round-then-rank with doc_id tie-break (cross-engine determinism)."""
+    """Round-then-rank with doc_id tie-break (cross-engine determinism).
+
+    orderBy().limit(k) compiles to TakeOrderedAndProject (per-partition
+    k-heaps — the engine's own top-k shape); the row_number window then
+    runs over only k rows, not the full score frame."""
     s = scores.select("doc_id", F.round("score", 6).alias("score"))
+    top = s.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return s.withColumn("rank", F.row_number().over(w).cast("int")).where(
-        F.col("rank") <= k
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
 def _docset(scores: DataFrame) -> DataFrame:

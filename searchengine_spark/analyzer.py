@@ -35,17 +35,63 @@ LUCENE_STOPWORDS = frozenset(
 )
 
 
+# KStem is dictionary-first: a word found in the lexicon is returned
+# as-is (or via a direct-conflation entry) BEFORE any suffix rule fires
+# (Krovetz '93; Lucene KStemmer checks its KStemData tables at every
+# step). The full ~30k-entry lexicon is impractical to inline, but the
+# high-frequency entries where the suffix rules would otherwise misfire
+# are few — this table reproduces real KStem behavior for them and is
+# replayed verbatim in the DuckDB oracle (gate._kstem_sql builds its
+# CASE arms from THIS dict — single source of truth).
+KSTEM_EXCEPTIONS: dict[str, str] = {
+    # dictionary words real KStem returns unchanged (rules would mangle)
+    **{w: w for w in (
+        "news", "series", "species", "analysis", "basis", "crisis",
+        "thesis", "hypothesis", "emphasis", "diagnosis",
+        "physics", "mathematics", "economics", "politics",
+        "during", "morning", "evening", "nothing", "something",
+        "anything", "everything", "string", "spring", "sterling",
+        "hundred", "indeed", "speed", "feed", "need", "seed", "deed",
+        "exceed", "proceed", "succeed", "breed", "bleed", "creed",
+        "greed", "wicked", "hatred", "sacred", "naked", "lens",
+        "chaos", "bias", "alias", "canvas", "atlas",
+    )},
+    # direct conflations the rules can't reach (dictionary-backed forms)
+    "agreed": "agree", "freed": "free", "died": "die", "lied": "lie",
+    "tied": "tie", "used": "use", "heroes": "hero", "potatoes": "potato",
+    "tomatoes": "tomato", "echoes": "echo", "movies": "movie",
+    "quizzes": "quiz", "created": "create", "creating": "create",
+    # silent-e words ending -ses: the -es rule sees a trailing 's' on
+    # the stem (hous-) and stops; the lexicon restores the 'e'
+    "houses": "house", "causes": "cause", "cases": "case",
+    "bases": "base", "uses": "use", "roses": "rose", "noses": "nose",
+    "doses": "dose", "horses": "horse", "nurses": "nurse",
+    "courses": "course", "senses": "sense", "phrases": "phrase",
+    "purposes": "purpose", "promises": "promise", "databases": "database",
+    "responses": "response", "diseases": "disease", "releases": "release",
+    "increases": "increase", "exercises": "exercise", "licenses": "license",
+    "expenses": "expense", "surprises": "surprise",
+}
+
+
 def krovetz_lite(word: str) -> str:
     """Light inflectional stemmer (Krovetz-style: plurals, -ed, -ing).
 
     A deterministic approximation of KStem's inflectional rules — enough to
-    conflate ``tables/table``, ``merged/merge``, ``running/run``. Used
+    conflate ``tables/table``, ``merged/merge``, ``running/run`` — with a
+    dictionary-first exception table (KSTEM_EXCEPTIONS) reproducing real
+    KStem on the high-frequency words where rules alone misfire. Used
     identically at index and query time so conflation is self-consistent.
+    Divergences from dictionary-exact KStem are pinned with rationale in
+    tests/test_kstem_golden.py.
     """
     w = word
     n = len(w)
     if n <= 3 or not w.isalpha():
         return w
+    hit = KSTEM_EXCEPTIONS.get(w)
+    if hit is not None:
+        return hit
     # plurals
     if w.endswith("ies") and n > 4:
         return w[:-3] + "y"
@@ -65,13 +111,13 @@ def krovetz_lite(word: str) -> str:
         return w[:-3] + "y"
     if w.endswith("ed") and n > 4:
         stem = w[:-2]
-        if len(stem) >= 3 and stem[-1] == stem[-2] and stem[-1] not in "lsz":
+        if len(stem) >= 3 and stem[-1] == stem[-2] and stem[-1] not in "lszaeiou":
             return stem[:-1]
         return stem + "e" if _wants_e(stem) else stem
     # progressive
     if w.endswith("ing") and n > 5:
         stem = w[:-3]
-        if len(stem) >= 3 and stem[-1] == stem[-2] and stem[-1] not in "lsz":
+        if len(stem) >= 3 and stem[-1] == stem[-2] and stem[-1] not in "lszaeiou":
             return stem[:-1]
         return stem + "e" if _wants_e(stem) else stem
     return w
@@ -81,12 +127,14 @@ def _wants_e(stem: str) -> bool:
     """Heuristic: restore trailing 'e' (merg -> merge, scor -> score)."""
     if len(stem) < 3:
         return False
-    c, v = stem[-1], stem[-2]
+    c, v, a = stem[-1], stem[-2], stem[-3]
     if c in "aeiouwxy":
         return False
-    # CVC pattern (scor -> score) or e-taking finals after a consonant
-    # cluster (merg -> merge, danc -> dance, serv -> serve)
-    return v in "aeiou" or c in "cgvz"
+    # TRUE CVC pattern (scor -> score but read -> read, look -> look:
+    # a vowel digraph before the final consonant takes no 'e'), or
+    # e-taking finals after a consonant cluster (merg -> merge,
+    # danc -> dance, serv -> serve)
+    return (v in "aeiou" and a not in "aeiou") or c in "cgvz"
 
 
 @dataclass(frozen=True)

@@ -500,18 +500,29 @@ SELECT u.doc_id, CAST(round({sums}, 6) AS DOUBLE) AS score FROM u {joins}
 
 def _kstem_sql(w: str) -> str:
     """krovetz_lite (analyzer.py) as a SQL CASE over token ``w`` — same
-    rule order: plurals, -ied/-ed, -ing, with doubling undo and e-restore."""
+    rule order: dictionary-first exceptions (built from the SAME
+    analyzer.KSTEM_EXCEPTIONS dict — one source of truth), then
+    plurals, -ied/-ed, -ing, with doubling undo and e-restore."""
+    from searchengine_spark.analyzer import KSTEM_EXCEPTIONS
+
+    identity = sorted(k for k, v in KSTEM_EXCEPTIONS.items() if k == v)
+    mapped = sorted((k, v) for k, v in KSTEM_EXCEPTIONS.items() if k != v)
+    id_list = ", ".join(f"'{t}'" for t in identity)
+    mapped_arms = "\n".join(
+        f" WHEN {w} = '{k}' THEN '{v}'" for k, v in mapped
+    )
     def dbl(stem: str) -> str:
         return (
             f"length({stem}) >= 3 AND right({stem}, 1) = left(right({stem}, 2), 1) "
-            f"AND right({stem}, 1) NOT IN ('l', 's', 'z')"
+            f"AND right({stem}, 1) NOT IN ('l','s','z','a','e','i','o','u')"
         )
 
     def wants_e(stem: str) -> str:
         return (
             f"(length({stem}) >= 3 "
             f"AND right({stem}, 1) NOT IN ('a','e','i','o','u','w','x','y') "
-            f"AND (left(right({stem}, 2), 1) IN ('a','e','i','o','u') "
+            f"AND ((left(right({stem}, 2), 1) IN ('a','e','i','o','u') "
+            f"AND left(right({stem}, 3), 1) NOT IN ('a','e','i','o','u')) "
             f"OR right({stem}, 1) IN ('c','g','v','z')))"
         )
 
@@ -520,6 +531,8 @@ def _kstem_sql(w: str) -> str:
     ses = f"left({w}, length({w}) - 2)"
     return f"""CASE
  WHEN length({w}) <= 3 OR NOT regexp_matches({w}, '^[a-z]+$') THEN {w}
+ WHEN {w} IN ({id_list}) THEN {w}
+{mapped_arms}
  WHEN ends_with({w}, 'ies') AND length({w}) > 4 THEN left({w}, length({w}) - 3) || 'y'
  WHEN ends_with({w}, 'sses') THEN left({w}, length({w}) - 2)
  WHEN ends_with({w}, 'ss') OR ends_with({w}, 'us') THEN {w}

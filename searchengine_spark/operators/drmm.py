@@ -68,46 +68,90 @@ def histogram_features(
     cand: DataFrame,
     field: str = "body",
     n_bins: int = N_BINS,
+    store=None,
+    missing: str = "hash",
 ) -> DataFrame:
     """(doc_id, hist: array<float> of len n_terms*n_bins).
 
     One postings filter on the candidate set + groupBy doc + Arrow UDF;
     the histogram kernel runs vectorized per record batch.
+
+    ``store`` (a ``functions.wordvec.VectorStore``) supplies REAL
+    embeddings (IdxWordvec.java:60-100 parity: term->offset lookup,
+    L2-normalized on read). Doc-term vectors arrive via a term
+    equi-join against the store — broadcast when the vocab is small,
+    shuffle-on-term at web-scale vocab — so the UDF never holds the
+    whole vocabulary. ``missing`` decides out-of-vocab terms:
+    ``"hash"`` falls back to the deterministic hash-seeded vector,
+    ``"skip"`` drops the term from the histogram (contributes nothing),
+    matching the reference's null-vector skip.
     """
     idx = engine.index
     posts = idx.postings.where(F.col("field") == field).join(
         F.broadcast(cand.select("doc_id")), on="doc_id"
     )
-    fwd = posts.groupBy("doc_id").agg(
-        F.collect_list("term").alias("terms"), F.collect_list("tf").alias("tfs")
-    )
 
-    qvecs = np.stack([term_vector(t) for t in query_terms])  # (Q, DIM)
     nq = len(query_terms)
+    if store is not None:
+        qmap = store.lookup(query_terms)
+        dim = store.dim
+        qrows = []
+        for t in query_terms:
+            v = qmap.get(t)
+            if v is None:
+                v = term_vector(t, dim) if missing == "hash" else np.zeros(dim)
+            qrows.append(v)
+        qvecs = np.stack(qrows)
+        q_missing = np.array([t not in qmap and missing != "hash" for t in query_terms])
+        fwd = store.join_terms(posts.select("doc_id", "term", "tf")).groupBy("doc_id").agg(
+            F.collect_list("term").alias("terms"),
+            F.collect_list("tf").alias("tfs"),
+            F.collect_list(F.coalesce("vec", F.array())).alias("vecs"),
+        )
+    else:
+        dim = DIM
+        qvecs = np.stack([term_vector(t) for t in query_terms])  # (Q, DIM)
+        q_missing = np.zeros(nq, dtype=bool)
+        fwd = posts.groupBy("doc_id").agg(
+            F.collect_list("term").alias("terms"),
+            F.collect_list("tf").alias("tfs"),
+        ).withColumn("vecs", F.lit(None).cast("array<array<float>>"))
+
+    use_store = store is not None
+    skip_oov = missing == "skip"
 
     @F.pandas_udf(ArrayType(FloatType()))
-    def hist_udf(terms_s: pd.Series, tfs_s: pd.Series) -> pd.Series:
+    def hist_udf(terms_s: pd.Series, tfs_s: pd.Series, vecs_s: pd.Series) -> pd.Series:
         out = []
         cache: dict[str, np.ndarray] = {}
-        for terms, tfs in zip(terms_s, tfs_s):
-            vecs = []
-            for t in terms:
-                v = cache.get(t)
-                if v is None:
-                    v = term_vector(t)
-                    cache[t] = v
+        for terms, tfs, dvecs in zip(terms_s, tfs_s, vecs_s):
+            vecs, kept_tfs = [], []
+            for j, t in enumerate(terms):
+                v = None
+                if use_store and dvecs is not None and len(dvecs[j]) > 0:
+                    v = np.asarray(dvecs[j], dtype=np.float64)
+                elif skip_oov and use_store:
+                    continue  # OOV under "skip": term contributes nothing
+                else:
+                    v = cache.get(t)
+                    if v is None:
+                        v = term_vector(t, dim)
+                        cache[t] = v
                 vecs.append(v)
-            dv = np.stack(vecs) if vecs else np.zeros((0, DIM))
+                kept_tfs.append(float(tfs[j]))
+            dv = np.stack(vecs) if vecs else np.zeros((0, dim))
             sims = qvecs @ dv.T  # (Q, n_doc_terms)
             h = np.zeros((nq, n_bins), dtype=np.float64)
             for qi in range(nq):
+                if q_missing[qi]:
+                    continue  # OOV query term: all-zero histogram row
                 for j in range(sims.shape[1]):
                     b = _bin_index(float(sims[qi, j]), n_bins)
-                    h[qi, b] += float(tfs[j])
+                    h[qi, b] += kept_tfs[j]
             out.append(np.log1p(h).astype(np.float32).ravel().tolist())
         return pd.Series(out)
 
-    return fwd.select("doc_id", hist_udf("terms", "tfs").alias("hist"))
+    return fwd.select("doc_id", hist_udf("terms", "tfs", "vecs").alias("hist"))
 
 
 def idf_softmax(engine: SearchEngine, query_terms: list[str], field: str = "body") -> np.ndarray:

@@ -107,14 +107,20 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, __sh, mh_0..mh_{n-1}) MinHash signature over 3-gram shingles.
 
-    Computed as explode -> one groupBy with n_hashes ``min(md5(...))``
-    aggregates: a single pass with map-side partial aggregation. (The
-    naive ``array_min(transform(...))`` per hash inlines the whole
+    Computed as posexplode -> ONE groupBy carrying both the n_hashes
+    ``min(md5(...))`` aggregates AND the document-ordered shingle list
+    (``array_sort(collect_list(struct(pos, s)))``): a single pass with
+    map-side partial aggregation, no persist, no join-back. (The naive
+    ``array_min(transform(...))`` per hash inlines the whole
     tokenize+shingle expression once PER HASH — 8x the work.)
     """
-    sh = _with_shingles(df, id_col, text_col, n).persist()
-    ex = sh.select("id", F.explode("__sh").alias("s"))
-    return ex.groupBy("id").agg(*_signature_aggs(n_hashes)).join(sh, on="id")
+    sh = _with_shingles(df, id_col, text_col, n)
+    ex = sh.select("id", F.posexplode("__sh").alias("pos", "s"))
+    rebuilt_sh = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda x: x["s"]
+    ).alias("__sh")
+    agged = ex.groupBy("id").agg(rebuilt_sh, *_signature_aggs(n_hashes))
+    return agged.select("id", "__sh", *[f"mh_{i}" for i in range(n_hashes)])
 
 
 def minhash_lsh_pairs(
@@ -365,7 +371,9 @@ def simhash_pairs(
     banded = bands[0]
     for fr in bands[1:]:
         banded = banded.unionByName(fr)
-    return (
+    # hamming filter runs BEFORE the distinct: it's computable per
+    # candidate row, so filtering first shrinks the distinct's shuffle
+    pairs = (
         banded.alias("x")
         .join(banded.alias("y"), on=["band", "bkey"])
         .where(F.col("x.id") < F.col("y.id"))
@@ -377,6 +385,12 @@ def simhash_pairs(
                 + F.bit_count(F.expr("x.simhash_hi ^ y.simhash_hi"))
             ).alias("hamming"),
         )
-        .distinct()
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
+    # materialize the (tiny) pair set, then release the corpus-sized
+    # cached signature frame (same discipline as minhash_lsh_pairs)
+    pairs = pairs.persist()
+    pairs.count()
+    sig.unpersist()
+    return pairs

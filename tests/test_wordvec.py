@@ -1,0 +1,156 @@
+"""Word-embedding store tests: word2vec text/binary loaders, parquet
+round-trip, and the real-vectors DRMM featurize->rerank flow
+(IdxWordvec.java:60-100 parity — L2-normalize on read)."""
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.engine import SearchEngine
+from searchengine_spark.functions.wordvec import (
+    VectorStore,
+    load_word2vec,
+    load_word2vec_binary,
+    load_word2vec_text,
+)
+from searchengine_spark.operators import drmm
+from searchengine_spark.plans.models import BM25
+
+DIM = 8
+
+
+def _fixture_vecs(terms):
+    """Deterministic un-normalized vectors keyed by term."""
+    out = {}
+    for t in terms:
+        rng = np.random.default_rng(abs(hash((t, "w2v"))) % (2**32))
+        out[t] = rng.standard_normal(DIM) * 3.0
+    return out
+
+
+def _write_text(path, vecs):
+    with open(path, "w") as fh:
+        fh.write(f"{len(vecs)} {DIM}\n")
+        for t, v in vecs.items():
+            fh.write(t + " " + " ".join(f"{x:.6f}" for x in v) + "\n")
+
+
+def _write_binary(path, vecs):
+    with open(path, "wb") as fh:
+        fh.write(f"{len(vecs)} {DIM}\n".encode())
+        for t, v in vecs.items():
+            fh.write(t.encode() + b" ")
+            fh.write(struct.pack("<" + "f" * DIM, *[float(x) for x in v]))
+            fh.write(b"\n")
+
+
+@pytest.fixture(scope="module")
+def vec_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("w2v")
+    vecs = _fixture_vecs(["cerim", "dirim", "barim", "batok", "balan", "webim"])
+    tpath, bpath = str(d / "fix.vec"), str(d / "fix.bin")
+    _write_text(tpath, vecs)
+    _write_binary(bpath, vecs)
+    return tpath, bpath, vecs
+
+
+def test_text_loader_normalizes(spark, vec_files):
+    tpath, _, vecs = vec_files
+    got = {r["term"]: np.asarray(r["vec"]) for r in load_word2vec_text(spark, tpath).collect()}
+    assert set(got) == set(vecs)
+    for t, v in vecs.items():
+        expect = v / np.linalg.norm(v)
+        # text file carries %.6f precision + float32 storage
+        assert np.allclose(got[t], expect, atol=1e-4), t
+        assert abs(np.linalg.norm(got[t]) - 1.0) < 1e-5
+
+
+def test_binary_loader_matches_text(spark, vec_files):
+    tpath, bpath, _ = vec_files
+    t = {r["term"]: np.asarray(r["vec"]) for r in load_word2vec_text(spark, tpath).collect()}
+    b = {r["term"]: np.asarray(r["vec"]) for r in load_word2vec_binary(spark, bpath).collect()}
+    assert set(t) == set(b)
+    for k in t:
+        assert np.allclose(t[k], b[k], atol=1e-4), k
+
+
+def test_autodetect_both_formats(spark, vec_files):
+    tpath, bpath, vecs = vec_files
+    assert load_word2vec(spark, tpath).count() == len(vecs)
+    assert load_word2vec(spark, bpath).count() == len(vecs)
+
+
+def test_store_roundtrip_and_lookup(spark, vec_files, tmp_path):
+    tpath, _, vecs = vec_files
+    store = VectorStore.from_word2vec(spark, tpath)
+    p = str(tmp_path / "store.parquet")
+    store.save(p)
+    loaded = VectorStore.load(spark, p)
+    assert loaded.dim == DIM
+    assert loaded.vocab_size() == len(vecs)
+    got = loaded.lookup(["cerim", "nosuchterm", "dirim"])
+    assert set(got) == {"cerim", "dirim"}
+    m = loaded.as_map_or_none()
+    assert m is not None and len(m) == len(vecs)
+
+
+def test_drmm_end_to_end_with_real_store(spark, pages_index, vec_files, tmp_path):
+    """The VERDICT item: fixture vec file -> store -> featurize -> train
+    -> rerank, end-to-end, deterministic, differing from the hash path."""
+    tpath, _, _ = vec_files
+    store = VectorStore.from_word2vec(spark, tpath).save(str(tmp_path / "s.parquet"))
+    store = VectorStore.load(spark, str(tmp_path / "s.parquet"))
+
+    eng = SearchEngine(pages_index)
+    terms = eng.analyzer.terms("cerim dirim")
+    cand = eng.scores("cerim dirim", model=BM25()).select("doc_id").limit(20)
+
+    feats_store = drmm.histogram_features(eng, terms, cand, store=store, missing="skip")
+    feats_hash = drmm.histogram_features(eng, terms, cand)
+    rows_s = {int(r["doc_id"]): r["hist"] for r in feats_store.collect()}
+    rows_h = {int(r["doc_id"]): r["hist"] for r in feats_hash.collect()}
+    assert rows_s and set(rows_s) == set(rows_h)
+    assert any(rows_s[d] != rows_h[d] for d in rows_s), "store vectors had no effect"
+
+    # determinism: same store, same histograms
+    rows_s2 = {
+        int(r["doc_id"]): r["hist"]
+        for r in drmm.histogram_features(eng, terms, cand, store=store, missing="skip").collect()
+    }
+    assert rows_s == rows_s2
+
+    qrels = {d: (1 if i % 3 == 0 else 0) for i, d in enumerate(sorted(rows_s))}
+    feats_p = feats_store.persist()
+    mlp = drmm.train(eng, terms, feats_p, qrels, epochs=2)
+    ranked = drmm.rerank(eng, terms, feats_p, mlp, k=10).collect()
+    feats_p.unpersist()
+    assert len(ranked) == 10
+    scores = [r["score"] for r in ranked]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_oov_policies(spark, pages_index, vec_files):
+    """missing='hash' falls back to hash vectors (== no-store histograms
+    when the store is empty-ish); missing='skip' drops OOV doc terms."""
+    eng = SearchEngine(pages_index)
+    terms = eng.analyzer.terms("cerim dirim")
+    cand = eng.scores("cerim dirim", model=BM25()).select("doc_id").limit(5)
+    # a store whose vocab misses everything: hash fallback must equal the
+    # store-less path exactly (same term_vector, dim=DIM fixture is 8 but
+    # fallback uses store.dim — so build an empty store at drmm.DIM)
+    empty = VectorStore(
+        spark.createDataFrame(
+            [("__nope__", [0.0] * drmm.DIM)], "term string, vec array<float>"
+        )
+    )
+    a = {int(r["doc_id"]): r["hist"] for r in
+         drmm.histogram_features(eng, terms, cand, store=empty, missing="hash").collect()}
+    b = {int(r["doc_id"]): r["hist"] for r in
+         drmm.histogram_features(eng, terms, cand).collect()}
+    assert a == b
+    # skip: every histogram is all-zero (log1p(0)) because no doc term
+    # and no query term has a vector
+    c = drmm.histogram_features(eng, terms, cand, store=empty, missing="skip").collect()
+    assert all(all(x == 0.0 for x in r["hist"]) for r in c)

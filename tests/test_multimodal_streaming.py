@@ -88,29 +88,51 @@ def test_wav_codec_roundtrip():
     assert rate == 16000 and nch == 1 and (out == s).all()
 
 
-def test_real_decode_images_and_audio_end_to_end(spark):
-    """decode_stub=False runs the real PNG/WAV kernels inside
+def test_avi_codec_roundtrip():
+    import numpy as np
+
+    from searchengine_spark.pipeline import media_codecs as mc
+
+    rng = np.random.default_rng(9)
+    # w=7 forces nonzero row padding (21 -> 24 bytes/row)
+    frames = rng.integers(0, 256, size=(4, 5, 7, 3), dtype=np.uint8)
+    w, h, out = mc.decode_avi(mc.encode_avi(frames, fps=12))
+    assert (w, h) == (7, 5) and (out == frames).all()
+
+
+def test_avi_compressed_raises():
+    import numpy as np
+
+    from searchengine_spark.pipeline import media_codecs as mc
+
+    data = bytearray(
+        mc.encode_avi(np.zeros((1, 2, 2, 3), dtype=np.uint8))
+    )
+    # biCompression lives 16 bytes into the BITMAPINFOHEADER in 'strf'
+    i = data.find(b"strf")
+    data[i + 8 + 16 : i + 8 + 20] = b"MJPG"
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        mc.decode_avi(bytes(data))
+
+
+def test_real_decode_all_kinds_end_to_end(spark):
+    """decode_stub=False runs the real PNG/WAV/AVI kernels inside
     mapInPandas; dimensions come from the actual encoded payloads."""
-    media = mm.make_media(spark, 30).where("kind != 'video'")
+    media = mm.make_media(spark, 30)
     rows = mm.extract_features(media, decode_stub=False).collect()
-    assert rows
+    assert len(rows) == 30
     for r in rows:
+        i = int(r["media_id"])
         if r["kind"] == "image":
-            i = int(r["media_id"])
             assert (r["width"], r["height"]) == (16 + i % 16, 16 + i % 8)
             assert r["n_frames"] == 1
-        else:
+        elif r["kind"] == "audio":
             assert r["width"] == 8  # 8000 Hz -> 8
-            assert r["n_frames"] == 256 + int(r["media_id"]) % 512
+            assert r["n_frames"] == 256 + i % 512
+        else:  # video: make_media's AVI geometry
+            assert (r["width"], r["height"]) == (8 + i % 8, 8 + i % 4)
+            assert r["n_frames"] == 2 + i % 6
         assert abs(sum(r["feature"]) - 1.0) < 1e-5  # mass-normalized hist
-
-
-def test_decode_stub_raises_for_video_only(spark):
-    with pytest.raises(Exception) as exc:
-        mm.extract_features(
-            mm.make_media(spark, 3).where("kind = 'video'"), decode_stub=False
-        ).collect()
-    assert "NotImplementedError" in str(exc.value) or "ffmpeg" in str(exc.value)
 
 
 def test_resize_and_frame_sample_plans(spark):
@@ -119,6 +141,14 @@ def test_resize_and_frame_sample_plans(spark):
         assert max(r["target_w"], r["target_h"]) <= 65
     fs = mm.frame_sample_plan(media, every_n=4).collect()
     assert all(r["frame_index"] % 4 == 0 for r in fs)
+    # real-decode plan samples actual AVI frame counts
+    fs_real = mm.frame_sample_plan(media, every_n=2, decode_stub=False).collect()
+    by_id = {}
+    for r in fs_real:
+        by_id.setdefault(int(r["media_id"]), []).append(r["frame_index"])
+    for i, idxs in by_id.items():
+        nf = 2 + i % 6
+        assert sorted(idxs) == list(range(0, nf, 2))
 
 
 @pytest.fixture()

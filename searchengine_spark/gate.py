@@ -1475,6 +1475,71 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """,
     )
 
+    # --- stateful streaming sessionization (applyInPandasWithState) ---
+    def _events_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
+        import os
+        import tempfile
+        import uuid
+
+        from searchengine_spark.streaming import sessions as ss
+
+        src_dir = tempfile.mkdtemp(prefix="evsess_src_")
+        os.symlink(f"{sf}/events.parquet", os.path.join(src_dir, "events.parquet"))
+        base = tempfile.mkdtemp(prefix=f"evsess_{uuid.uuid4().hex[:8]}_")
+        out = os.path.join(base, "out")
+        # watermark delay >> data span: no event-time timeout ever fires,
+        # so the drain emits exactly the gap-closed sessions — every
+        # session except each user's final open one (deterministic rule
+        # the oracle replays below). Timeout firing itself is pinned by
+        # tests/test_multimodal_streaming.py.
+        q = ss.streaming_sessionize(
+            spark, src_dir, os.path.join(base, "ckpt"), out,
+            gap_minutes=30, watermark="3650 days",
+        )
+        q.awaitTermination(180)
+        return (
+            spark.read.parquet(out)
+            .select(
+                "user_id",
+                "session_seq",
+                "n_events",
+                F.unix_micros("session_start").alias("start_us"),
+                F.unix_micros("session_end").alias("end_us"),
+            )
+            .orderBy("user_id", "session_seq")
+        )
+
+    r["events_streaming_sessions"] = (
+        _events_streaming_sessions,
+        # the streaming operator compares gaps at MICROsecond precision
+        # (sessions.py _session_fn), so the oracle does too
+        """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g),
+agg AS (
+  SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+         CAST(epoch_us(max(ts)) AS BIGINT) AS end_us
+  FROM s GROUP BY user_id, session_seq)
+SELECT user_id, session_seq, n_events, start_us, end_us
+FROM agg
+WHERE session_seq < (SELECT max(a2.session_seq) FROM agg AS a2
+                     WHERE a2.user_id = agg.user_id)
+ORDER BY user_id, session_seq
+""",
+    )
+
     # --- training-data pipeline ---
     r["token_stats"] = (
         lambda spark, sf: textstats.token_stats(docs_df(spark, sf)).orderBy("doc_id"),

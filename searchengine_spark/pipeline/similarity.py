@@ -13,18 +13,29 @@
   value-for-value against a DuckDB oracle that replays the same seeded
   planes (gate ``ann_lsh_topk``).
 
-Plane shipping: at dim<=128 the literal arrays are a few hundred KB of
-plan text — cheap, and they keep the whole bucket computation inside
-whole-stage codegen. At word2vec-scale dims (768+), switch the bucket
-step to a pandas UDF whose closure captures the (n_tables, bits, dim)
-plane tensor — Spark broadcasts the serialized closure once per
-executor and the signs come from one numpy matmul per batch.
+Plane shipping auto-switches on dimension (``PLANE_LITERAL_MAX_DIM``):
+at dim<=128 the literal arrays are a few hundred KB of plan text —
+cheap, and they keep the whole bucket computation inside whole-stage
+codegen (and replayable in the DuckDB oracle). At word2vec-scale dims
+(768+) the bucket step becomes an Arrow-batched pandas UDF whose
+closure captures the (n_tables, bits, dim) plane tensor — Spark
+broadcasts the serialized closure once per executor and all
+n_tables x bits signs come from ONE numpy matmul per batch, so plan
+text stays O(1) in dim.
+
+Both paths emit the bucket keys as one ``array<string>`` column that
+``posexplode`` stacks into (table, bucket) rows — a single scan
+computes every table's key (the round-2 design re-scanned the corpus
+once per table via union).
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+
+PLANE_LITERAL_MAX_DIM = 128
 
 DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), "
@@ -83,6 +94,46 @@ def _hyperplanes(dim: int, n_tables: int, bits: int, seed: int = 13) -> np.ndarr
     return rng.standard_normal((n_tables, bits, dim))
 
 
+def _bucket_array_col(planes: np.ndarray, vec_col: str = "__v") -> F.Column:
+    """array<string> of per-table sign-bit bucket keys for one vector.
+
+    dim <= PLANE_LITERAL_MAX_DIM: plane rows inline as SQL literals
+    (whole-stage codegen, oracle-replayable). Above that: pandas UDF,
+    planes in the closure (broadcast once per executor), one
+    (batch x dim) @ (dim x T*B) matmul for every key at once.
+    """
+    n_tables, bits, dim = planes.shape
+    if dim <= PLANE_LITERAL_MAX_DIM:
+        tables = []
+        for t in range(n_tables):
+            bit_exprs = []
+            for b in range(bits):
+                arr = "array(" + ", ".join(repr(float(x)) for x in planes[t, b]) + ")"
+                bit_exprs.append(
+                    f"case when {DOT.format(a=vec_col, b=arr)} >= 0 then '1' else '0' end"
+                )
+            tables.append("concat(" + ", ".join(bit_exprs) + ")")
+        return F.expr("array(" + ", ".join(tables) + ")")
+
+    flat = planes.reshape(n_tables * bits, dim).T.copy()  # (dim, T*B)
+
+    @F.pandas_udf("array<string>")
+    def buckets(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype=object)
+        mat = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        signs = (mat @ flat) >= 0.0  # (n, T*B)
+        chars = np.where(signs, b"1", b"0").astype("S1")
+        keys = (
+            np.ascontiguousarray(chars)
+            .reshape(len(mat), n_tables, bits)
+            .view(f"S{bits}")[..., 0]
+        )  # (n, T) fixed-width byte strings
+        return pd.Series([[s.decode("ascii") for s in row] for row in keys])
+
+    return buckets(F.col(vec_col))
+
+
 def lsh_bucket_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -99,32 +150,17 @@ def lsh_bucket_topk(
     Bucket key per table = sign-bit string of ``bits`` hyperplane dot
     products. Join on (table, bucket) -> candidates -> exact cosine ->
     per-query top-k. At 10^12 scale the bucket join replaces the full
-    cross product; planes ship as literal arrays (a few KB).
+    cross product; planes ship as literals (dim<=128) or inside a
+    pandas-UDF closure (higher dims) — see ``_bucket_array_col``.
     """
     planes = _hyperplanes(dim, n_tables, bits, seed)
     base = with_norm(emb, vec_col).select(
         F.col(id_col).cast("long").alias("vec_id"), "__v", "__norm"
     )
-
-    def bucket_cols(prefix: str):
-        cols = []
-        for t in range(n_tables):
-            bit_exprs = []
-            for b in range(bits):
-                arr = "array(" + ", ".join(repr(float(x)) for x in planes[t, b]) + ")"
-                bit_exprs.append(
-                    f"case when {DOT.format(a='__v', b=arr)} >= 0 then '1' else '0' end"
-                )
-            cols.append(F.expr("concat(" + ", ".join(bit_exprs) + ")").alias(f"{prefix}{t}"))
-        return cols
-
-    hashed = base.select("vec_id", "__v", "__norm", *bucket_cols("bk")).persist()
-    stacked = None
-    for t in range(n_tables):
-        fr = hashed.select(
-            "vec_id", "__v", "__norm", F.lit(t).alias("table"), F.col(f"bk{t}").alias("bucket")
-        )
-        stacked = fr if stacked is None else stacked.unionByName(fr)
+    hashed = base.withColumn("__bks", _bucket_array_col(planes)).persist()
+    stacked = hashed.select(
+        "vec_id", "__v", "__norm", F.posexplode("__bks").alias("table", "bucket")
+    )
 
     q = stacked.where(F.col("vec_id").isin([int(i) for i in query_ids])).select(
         F.col("vec_id").alias("query_id"),
@@ -162,22 +198,9 @@ def embedding_near_dup_pairs(
     base = with_norm(emb, vec_col).select(
         F.col(id_col).cast("long").alias("vec_id"), "__v", "__norm"
     )
-    stacked = None
-    for t in range(n_tables):
-        bit_exprs = []
-        for b in range(bits):
-            arr = "array(" + ", ".join(repr(float(x)) for x in planes[t, b]) + ")"
-            bit_exprs.append(
-                f"case when {DOT.format(a='__v', b=arr)} >= 0 then '1' else '0' end"
-            )
-        fr = base.select(
-            "vec_id",
-            "__v",
-            "__norm",
-            F.lit(t).alias("table"),
-            F.expr("concat(" + ", ".join(bit_exprs) + ")").alias("bucket"),
-        )
-        stacked = fr if stacked is None else stacked.unionByName(fr)
+    stacked = base.withColumn("__bks", _bucket_array_col(planes)).select(
+        "vec_id", "__v", "__norm", F.posexplode("__bks").alias("table", "bucket")
+    )
     cand = (
         stacked.alias("x")
         .join(stacked.alias("y"), on=["table", "bucket"])

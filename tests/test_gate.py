@@ -90,3 +90,32 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     recall = len(ex & ap) / len(ex)
     assert recall >= 0.6, f"LSH recall {recall}"
     assert not math.isnan(recall)
+
+
+def test_ann_highdim_plane_broadcast(spark, monkeypatch):
+    """dim=768 switches the LSH bucket step to the pandas-UDF closure
+    path: identical results to the literal-SQL path on the same planes,
+    with plan text that stays O(1) in dim instead of inlining
+    n_tables*bits*dim float literals."""
+    import numpy as np
+
+    from searchengine_spark.pipeline import similarity
+
+    rng = np.random.default_rng(77)
+    dim, n = 768, 200
+    rows = [(i, rng.standard_normal(dim).astype("float32").tolist()) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    kw = dict(k=10, n_tables=4, bits=4, dim=dim, seed=13)
+    udf_df = similarity.lsh_bucket_topk(emb, [0, 1], **kw)
+    udf_rows = sorted(map(tuple, udf_df.collect()))
+
+    monkeypatch.setattr(similarity, "PLANE_LITERAL_MAX_DIM", 10_000)
+    lit_df = similarity.lsh_bucket_topk(emb, [0, 1], **kw)
+    lit_rows = sorted(map(tuple, lit_df.collect()))
+    assert udf_rows == lit_rows and len(udf_rows) > 0
+
+    udf_plan = udf_df._jdf.queryExecution().optimizedPlan().toString()
+    lit_plan = lit_df._jdf.queryExecution().optimizedPlan().toString()
+    assert len(udf_plan) < 100_000, f"UDF-path plan blew up: {len(udf_plan)}"
+    assert len(lit_plan) > 4 * len(udf_plan)  # literals genuinely dominate

@@ -100,6 +100,31 @@ def main() -> None:
         queries[name] = round(sec, 3)
         lat.append(sec)
 
+    # --- multi-query throughput: 100-query BM25 batch -----------------------
+    # vocabulary-derived 3-term queries (ranks 50..349 by df: big posting
+    # lists but nonzero idf). Fused = ONE term-IN scan + one (qid, doc_id)
+    # fold + per-qid top-k; union = 100 per-query subplans. Rank-identical
+    # (test_run_batch_fused_bit_identical_to_union).
+    all_terms = [
+        r["term"]
+        for r in eng.index.term_stats.where(F.col("field") == "body")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(350)
+        .collect()
+    ]
+    vocab = all_terms[min(50, max(0, len(all_terms) - 10)) :]
+    batch100 = [
+        (f"b{i}", " ".join(vocab[(3 * i + j) % len(vocab)] for j in range(3)))
+        for i in range(100)
+    ]
+    fused_fn = lambda: eng.run_batch(batch100, model="bm25", k=10).collect()  # noqa: E731
+    fused_fn()  # warm-up
+    queries["q_batch100_fused"] = round(_best_of(fused_fn, 2), 3)
+    batch100_union_sec = round(
+        _time(lambda: eng.run_batch(batch100, model="bm25", k=10, fused=False).collect()),
+        3,
+    )
+
     # --- pipeline operators -------------------------------------------------
     ddf = gate.docs_df(spark, sf_dir)
     edf = gate.emb_df(spark, sf_dir)
@@ -132,6 +157,10 @@ def main() -> None:
                 "n_pages_indexed": n_pages,
                 "n_postings": int(n_post),
                 "p95_query_latency_sec": round(p95, 3),
+                "batch100_union_sec": batch100_union_sec,
+                "batch100_speedup": round(
+                    batch100_union_sec / max(queries["q_batch100_fused"], 1e-9), 1
+                ),
                 "cpus": cpus,
             }
         )

@@ -122,3 +122,25 @@ def test_run_batch_multiple_queries(pages_index):
     assert qids == {"q1", "q3"}  # q2 is degenerate -> skipped
     per = {q: [r for r in out if r["qid"] == q] for q in qids}
     assert all(len(v) <= 5 for v in per.values())
+
+
+def test_run_batch_fused_bit_identical_to_union(pages_index):
+    """The fused one-plan BM25 batch must reproduce the per-query union
+    path exactly — same docs, same ranks, same %.18f scores — including
+    single-term, duplicate-term, and mixed batches where structured
+    queries fall back to the union path."""
+    eng = SearchEngine(pages_index)
+    batch = [
+        ("q1", "cerim dirim"),
+        ("q2", "cerim"),
+        ("q3", "cerim cerim dirim"),  # duplicate term under #SUM
+        ("q4", "#near/2(barim batok)"),  # structured -> fallback path
+        ("q5", "dirim batok cerim fulan"),
+    ]
+    fused = eng.run_batch(batch, model=BM25(), k=10).collect()
+    union = eng.run_batch(batch, model=BM25(), k=10, fused=False).collect()
+    key = lambda r: (r["qid"], r["rank"])  # noqa: E731
+    fused_rows = {key(r): (r["doc_id"], r["ext_id"], f"{r['score']:.18f}") for r in fused}
+    union_rows = {key(r): (r["doc_id"], r["ext_id"], f"{r['score']:.18f}") for r in union}
+    assert set(r["qid"] for r in fused) == {"q1", "q2", "q3", "q4", "q5"}
+    assert fused_rows == union_rows

@@ -121,3 +121,64 @@ def test_near_tf_le_min_list_len(a, b, dist):
         return
     got = near_merge([np.asarray(a), np.asarray(b)], dist)
     assert len(got) <= min(len(a), len(b))
+
+
+# ---------------------------------------------------------------------------
+# single-scan flat strategies vs forced join path: bit-identical frames
+# ---------------------------------------------------------------------------
+
+FLAT_VOCAB = [
+    "barim", "batok", "balan", "cerim", "cetok", "celan",
+    "dirim", "ditok", "dilan", "baser", "fulan", "gorim",
+]
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.data())
+def test_flat_strategy_bit_identical_to_join_path(pages_index, data):
+    """Random flat Indri/Boolean queries: the single-scan map-reassembly
+    strategy (default compiler) must produce BIT-identical (doc_id,
+    score) frames to the k-way-join path (agg_threshold raised), for
+    every op x weight combination — generalizing the specific queries
+    the driver gates pin."""
+    from searchengine_spark.engine import SearchEngine
+    from searchengine_spark.plans.compiler import Compiler
+    from searchengine_spark.plans.models import Indri, RankedBoolean
+
+    model_kind = data.draw(st.sampled_from(["indri", "bool"]))
+    if model_kind == "indri":
+        op = data.draw(st.sampled_from(["and", "or", "wand", "wsum"]))
+        m = Indri(mu=data.draw(st.sampled_from([1500.0, 2500.0])), lam=0.3)
+    else:
+        op = data.draw(st.sampled_from(["and", "or"]))
+        m = RankedBoolean()
+    n_terms = data.draw(st.integers(min_value=2, max_value=5))
+    terms = data.draw(
+        st.lists(
+            st.sampled_from(FLAT_VOCAB), min_size=n_terms, max_size=n_terms,
+            unique=True,
+        )
+    )
+    if op in ("wand", "wsum"):
+        weights = [
+            data.draw(st.sampled_from([0.1, 0.5, 1.0, 1.5, 3.0]))
+            for _ in terms
+        ]
+        body = " ".join(f"{w} {t}" for w, t in zip(weights, terms))
+    else:
+        body = " ".join(terms)
+    q = f"#{op}({body})"
+
+    eng = SearchEngine(pages_index)
+    ast = eng.parse(q, m)
+    flat = {
+        int(r["doc_id"]): float(r["score"])
+        for r in Compiler(pages_index, m).compile(ast).collect()
+    }
+    join = {
+        int(r["doc_id"]): float(r["score"])
+        for r in Compiler(pages_index, m, agg_threshold=100).compile(ast).collect()
+    }
+    assert set(flat) == set(join), q
+    for d, s in join.items():
+        assert flat[d] == s, (q, d, flat[d], s)

@@ -32,11 +32,21 @@ from searchengine_spark.corpus import extract_fields, make_pages  # noqa: E402
 from searchengine_spark.session import get_spark  # noqa: E402
 
 
-def formatted(df) -> str:
+def formatted(df, max_lines: int = 200) -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain("formatted")
-    return buf.getvalue()
+    lines = buf.getvalue().splitlines()
+    # materialized intermediates (persist + AQE) embed their full
+    # final/initial plans recursively — cap the dump, the shape evidence
+    # is in the head
+    if len(lines) > max_lines:
+        lines = (
+            lines[: max_lines - 40]
+            + [f"... [{len(lines) - max_lines} plan lines truncated] ..."]
+            + lines[-39:]
+        )
+    return "\n".join(lines)
 
 
 def main() -> None:

@@ -40,6 +40,29 @@ def _flat_sum_leaves(ast) -> list[TermNode] | None:
     return None
 
 
+def _flat_op_leaves(ast):
+    """(op, [TermNode...], weights|None) for the flat Indri/Boolean
+    shape — #AND/#OR/#WAND/#WSUM over >=2 distinct same-field
+    #SCORE(term) args — else None. Mirrors the eligibility rules of
+    Compiler._indri_flat_strategy / _bool_flat_strategy so the fused
+    batch covers exactly the single-scan-able queries."""
+    if not isinstance(ast, SopNode) or ast.op not in ("and", "or", "wand", "wsum"):
+        return None
+    if len(ast.args) < 2:
+        return None
+    if not all(
+        isinstance(a, SopNode) and a.op == "score" and isinstance(a.args[0], TermNode)
+        for a in ast.args
+    ):
+        return None
+    terms = [a.args[0] for a in ast.args]
+    fld = terms[0].field
+    names = [t.term for t in terms]
+    if any(t.field != fld for t in terms) or len(set(names)) != len(names):
+        return None
+    return ast.op, terms, list(ast.weights) if ast.weights else None
+
+
 class SearchEngine:
     def __init__(self, index: InvertedIndex, fields: tuple | None = None):
         self.index = index
@@ -118,21 +141,36 @@ class SearchEngine:
                 continue  # empty query (QryEval.java:131)
             parsed.append((qid, ast))
 
-        fused_items: list[tuple[str, list[TermNode]]] = []
+        name = getattr(m, "name", "")
+        fused_items: list = []
         rest: list[tuple[str, object]] = []
-        if fused and getattr(m, "name", "") == "bm25":
+        if fused and name == "bm25":
             for qid, ast in parsed:
                 leaves = _flat_sum_leaves(ast)
                 if leaves is not None:
                     fused_items.append((qid, leaves))
                 else:
                     rest.append((qid, ast))
+        elif fused and name in ("indri", "rankedboolean", "unrankedboolean"):
+            for qid, ast in parsed:
+                flat = _flat_op_leaves(ast)
+                if flat is not None and (
+                    name != "indri"
+                    or self.index.sum_len(flat[1][0].field) > 0
+                ):
+                    fused_items.append((qid, *flat))
+                else:
+                    rest.append((qid, ast))
         else:
             rest = parsed
 
         frames = []
-        if fused_items:
+        if fused_items and name == "bm25":
             frames.append(self._fused_bm25_batch(comp, fused_items, k))
+        elif fused_items and name == "indri":
+            frames.append(self._fused_indri_batch(comp, fused_items, k))
+        elif fused_items:
+            frames.append(self._fused_bool_batch(comp, fused_items, k))
         for qid, ast in rest:
             frames.append(topk(comp.compile(ast), k).withColumn("qid", F.lit(qid)))
         if not frames:
@@ -146,6 +184,24 @@ class SearchEngine:
         return out.select("qid", "doc_id", "ext_id", "score", "rank").orderBy(
             "qid", "rank"
         )
+
+    def _terms_scan_cond(self, fld: str, terms: list[str]):
+        """Pushed-down scan predicate for a fused batch: term-IN plus a
+        literal bucket-IN (the terms' bucket dirs resolve with one
+        local-relation microjob, so the partition listing prunes no
+        matter how many queries share the scan)."""
+        spark = self.index.spark
+        cond = (F.col("field") == fld) & F.col("term").isin(terms)
+        if self.index.n_buckets:
+            buckets = [
+                int(r[0])
+                for r in spark.createDataFrame([(t,) for t in terms], "t string")
+                .select(F.pmod(F.xxhash64("t"), F.lit(self.index.n_buckets)))
+                .distinct()
+                .collect()
+            ]
+            cond = cond & F.col("bucket").isin(buckets)
+        return cond
 
     def _fused_bm25_batch(
         self, comp: Compiler, items: list[tuple[str, list[TermNode]]], k: int
@@ -183,20 +239,7 @@ class SearchEngine:
                 qt_rows, "qid string, __ti int, term string, __idf double"
             )
             terms = sorted({r[2] for r in rows})
-            cond = (F.col("field") == fld) & F.col("term").isin(terms)
-            if self.index.n_buckets:
-                # resolve the terms' bucket dirs with one local-relation
-                # microjob -> literal IN prunes the partition listing
-                buckets = [
-                    int(r[0])
-                    for r in spark.createDataFrame([(t,) for t in terms], "t string")
-                    .select(
-                        F.pmod(F.xxhash64("t"), F.lit(self.index.n_buckets))
-                    )
-                    .distinct()
-                    .collect()
-                ]
-                cond = cond & F.col("bucket").isin(buckets)
+            cond = self._terms_scan_cond(fld, terms)
             tf = F.col("tf").cast("double")
             denom = tf + F.lit(m.k1) * (
                 F.lit(1.0 - m.b) + F.lit(m.b) * F.col("doc_len") / F.lit(avg)
@@ -221,3 +264,168 @@ class SearchEngine:
             ).alias("score")
         )
         return topk_grouped(scored, k).select("qid", "doc_id", "score", "rank")
+
+    def _fused_indri_batch(
+        self, comp: Compiler, items: list, k: int
+    ) -> DataFrame:
+        """One plan for a batch of flat Indri #AND/#OR/#WAND/#WSUM
+        queries (Compiler._indri_flat_strategy, batched).
+
+        Leaf scores come from the scan ⋈ broadcast (qid, ti, term, p)
+        join; per-(qid, doc_id) the (ti -> score) map reassembles and a
+        broadcast per-qid meta row (op, k, p-default and weight-fraction
+        arrays) drives a left-to-right ``aggregate`` fold whose float
+        ops replicate the per-query path exactly (fold inits 1.0/* and
+        0.0/+ are IEEE-exact), so scores are bit-identical.
+        """
+        spark = self.index.spark
+        m = comp.model
+        all_terms = tuple({t for _, _, leaves, _ in items for t in leaves})
+        comp.prefetch_term_stats(SopNode("sum", all_terms))
+
+        by_field: dict[str, list] = {}
+        for qid, op, leaves, weights in items:
+            by_field.setdefault(leaves[0].field, []).append((qid, op, leaves, weights))
+
+        frames = []
+        for fld, f_items in by_field.items():
+            collen = float(self.index.sum_len(fld))
+            qt_rows, meta_rows = [], []
+            for qid, op, leaves, weights in f_items:
+                kk = len(leaves)
+                w = weights if weights else [1.0] * kk
+                total = sum(w)
+                pdefs = []
+                for i, t in enumerate(leaves):
+                    _df, ctf = comp.term_stats.get((t.term, fld), (0, 0))
+                    qt_rows.append((qid, i, t.term, ctf / collen))
+                    ctf_def = float(ctf) if ctf >= 1.0 else 0.5
+                    pdefs.append(ctf_def / collen)
+                meta_rows.append((qid, op, kk, pdefs, [wi / total for wi in w]))
+            qt = spark.createDataFrame(
+                qt_rows, "qid string, __ti int, term string, __p double"
+            )
+            meta = spark.createDataFrame(
+                meta_rows,
+                "qid string, __op string, __k int, "
+                "__pdefs array<double>, __wf array<double>",
+            )
+            terms = sorted({r[2] for r in qt_rows})
+
+            tf = F.col("tf").cast("double")
+            dl = F.col("doc_len").cast("double")
+            leaf = (
+                F.lit(1.0 - m.lam) * (tf + F.lit(m.mu) * F.col("__p")) / (dl + F.lit(m.mu))
+                + F.lit(m.lam) * F.col("__p")
+            )
+            rows = (
+                self.index.postings.where(self._terms_scan_cond(fld, terms))
+                .join(F.broadcast(qt), on="term")
+                .select("qid", "doc_id", "__ti", leaf.alias("__s"), "doc_len")
+            )
+            grouped = rows.groupBy("qid", "doc_id").agg(
+                F.map_from_entries(F.collect_list(F.struct("__ti", "__s"))).alias("__m"),
+                F.max("doc_len").alias("__gdl"),
+            )
+            j = grouped.join(F.broadcast(meta), on="qid")
+
+            gdl = F.col("__gdl").cast("double")
+
+            def eff(i):
+                pd_i = F.element_at(F.col("__pdefs"), i + F.lit(1))
+                default = (
+                    F.lit(1.0 - m.lam)
+                    * (F.lit(0.0) + F.lit(m.mu) * pd_i)
+                    / (gdl + F.lit(m.mu))
+                    + F.lit(m.lam) * pd_i
+                )
+                return F.coalesce(F.element_at(F.col("__m"), i), default)
+
+            seq = F.sequence(F.lit(0), F.col("__k") - F.lit(1))
+            one, zero = F.lit(1.0), F.lit(0.0)
+            s_and = F.pow(
+                F.aggregate(seq, one, lambda acc, i: acc * eff(i)),
+                one / F.col("__k").cast("double"),
+            )
+            s_or = F.aggregate(seq, one, lambda acc, i: acc * (one - eff(i)))
+            s_wand = F.aggregate(
+                seq,
+                one,
+                lambda acc, i: acc
+                * F.pow(eff(i), F.element_at(F.col("__wf"), i + F.lit(1))),
+            )
+            s_wsum = F.aggregate(
+                seq,
+                zero,
+                lambda acc, i: acc
+                + eff(i) * F.element_at(F.col("__wf"), i + F.lit(1)),
+            )
+            score = (
+                F.when(F.col("__op") == "and", s_and)
+                .when(F.col("__op") == "or", s_or)
+                .when(F.col("__op") == "wand", s_wand)
+                .otherwise(s_wsum)
+            )
+            frames.append(
+                j.select("qid", "doc_id", score.cast("double").alias("score"))
+            )
+        u = frames[0]
+        for fr in frames[1:]:
+            u = u.unionByName(fr)
+        return topk_grouped(u, k).select("qid", "doc_id", "score", "rank")
+
+    def _fused_bool_batch(
+        self, comp: Compiler, items: list, k: int
+    ) -> DataFrame:
+        """One plan for a batch of flat Boolean queries
+        (Compiler._bool_flat_strategy, batched). match-ALL
+        (#AND/#WAND/#WSUM) filters on the per-doc matched-term count;
+        scores are min/max over the reassembled tf map (order-exact) or
+        1.0 for UnrankedBoolean."""
+        from searchengine_spark.plans.models import UnrankedBoolean
+
+        spark = self.index.spark
+        by_field: dict[str, list] = {}
+        for qid, op, leaves, _w in items:
+            by_field.setdefault(leaves[0].field, []).append((qid, op, leaves))
+
+        frames = []
+        for fld, f_items in by_field.items():
+            qt_rows = [
+                (qid, i, t.term)
+                for qid, _op, leaves in f_items
+                for i, t in enumerate(leaves)
+            ]
+            meta = spark.createDataFrame(
+                [(qid, op != "or", len(leaves)) for qid, op, leaves in f_items],
+                "qid string, __match_all boolean, __k int",
+            )
+            qt = spark.createDataFrame(qt_rows, "qid string, __ti int, term string")
+            terms = sorted({r[2] for r in qt_rows})
+            rows = (
+                self.index.postings.where(self._terms_scan_cond(fld, terms))
+                .join(F.broadcast(qt), on="term")
+                .select(
+                    "qid", "doc_id", "__ti", F.col("tf").cast("double").alias("__s")
+                )
+            )
+            g = rows.groupBy("qid", "doc_id").agg(
+                F.map_from_entries(F.collect_list(F.struct("__ti", "__s"))).alias("__m")
+            )
+            j = g.join(F.broadcast(meta), on="qid").where(
+                (~F.col("__match_all")) | (F.size("__m") == F.col("__k"))
+            )
+            vals = F.map_values(F.col("__m"))
+            if isinstance(comp.model, UnrankedBoolean):
+                score = F.lit(1.0)
+            else:
+                score = F.when(
+                    F.col("__match_all"), F.array_min(vals)
+                ).otherwise(F.array_max(vals))
+            frames.append(
+                j.select("qid", "doc_id", score.cast("double").alias("score"))
+            )
+        u = frames[0]
+        for fr in frames[1:]:
+            u = u.unionByName(fr)
+        return topk_grouped(u, k).select("qid", "doc_id", "score", "rank")

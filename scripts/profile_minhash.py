@@ -30,7 +30,7 @@ def main() -> None:
         SHINGLE_HASH,
         _jaccard,
         _signature_aggs,
-        _with_hash_pair,
+        _with_shingle_hash,
         _with_shingles,
     )
     from searchengine_spark.functions.hashing import band_key
@@ -43,7 +43,9 @@ def main() -> None:
     df = docs.select("doc_id", F.col("body").alias("text")).persist()
     df.count()
 
-    n_hashes, n_bands = 8, 4
+    from searchengine_spark.pipeline.dedup import DEFAULT_BANDS, DEFAULT_HASHES
+
+    n_hashes, n_bands = DEFAULT_HASHES, DEFAULT_BANDS
     rows_per_band = n_hashes // n_bands
 
     t0 = time.time()
@@ -52,7 +54,7 @@ def main() -> None:
     t_shingle = time.time() - t0
 
     t0 = time.time()
-    ex = _with_hash_pair(sh.select("id", F.explode("__sh").alias("s")))
+    ex = _with_shingle_hash(sh.select("id", F.explode("__sh").alias("s")))
     sig = ex.groupBy("id").agg(*_signature_aggs(n_hashes)).persist()
     sig.count()
     t_sig = time.time() - t0

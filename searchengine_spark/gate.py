@@ -362,15 +362,18 @@ ORDER BY seed_id, doc_id
 """
 
 
-def minhash_lsh_sql(threshold: float, n_hashes: int = 8, n_bands: int = 4) -> str:
+def minhash_lsh_sql(threshold: float, n_hashes: int = 16, n_bands: int = 4) -> str:
+    # defaults mirror dedup.DEFAULT_HASHES/DEFAULT_BANDS — change both
+    # or neither (the driver hash-compares the two outputs)
     rows = n_hashes // n_bands
-    # Kirsch-Mitzenmacher double hashing, mirroring dedup.MH_H1/MH_H2:
-    # one md5 per shingle, minhash_i = min(h1 + i*h2) over 56-bit halves
-    h1 = "CAST(CAST('0x' || substr(md5(s), 1, 14) AS UBIGINT) AS BIGINT)"
-    h2 = "CAST(CAST('0x' || substr(md5(s), 17, 14) AS UBIGINT) AS BIGINT)"
+    # multiply-permutation family, mirroring dedup.MH_H/_mh_multipliers:
+    # one md5 per shingle -> 40-bit h, mh_i = min((a_i * h) mod 2^40)
+    from searchengine_spark.pipeline.dedup import MH_MASK, _mh_multipliers
+
+    h = "CAST(CAST('0x' || substr(md5(s), 1, 10) AS UBIGINT) AS BIGINT)"
     mh_cols = ", ".join(
-        f"list_min([{h1} + {i} * {h2} FOR s IN sh.s]) AS mh_{i}"
-        for i in range(n_hashes)
+        f"list_min([({a} * {h}) & {MH_MASK} FOR s IN sh.s]) AS mh_{i}"
+        for i, a in enumerate(_mh_multipliers(n_hashes))
     )
     band_rows = []
     for b in range(n_bands):

@@ -24,7 +24,12 @@ from pyspark.sql import DataFrame, functions as F
 
 from searchengine_spark.functions.hashing import band_key, shingles, tokens
 
-DEFAULT_HASHES = 8
+# 16 hashes / 4 bands = 4-hash band keys (S-curve threshold ~0.71).
+# 2-hash band keys are far too permissive on zipf-headed shingle
+# distributions (candidate blowup — measured numbers at the MinHash
+# family definition below). Mirrored in gate.minhash_lsh_sql — change
+# both or neither.
+DEFAULT_HASHES = 16
 DEFAULT_BANDS = 4
 
 
@@ -91,29 +96,50 @@ def jaccard_pairs_vs_seeds(
 SHINGLE_HASH = "transform({col}, s -> cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint))"
 
 
-# Kirsch-Mitzenmacher double hashing: ONE md5 per shingle row, the
-# n_hashes minhash functions derive as h1 + i*h2 from the digest's two
-# 56-bit halves (14 hex chars each: h1 + 127*h2 < 2^63, no overflow in
-# Spark OR DuckDB BIGINT). The round-2 design salted the md5 per hash
-# (8 md5 calls per shingle row) — at 400k pages that made signature
-# computation the minhash bottleneck (227s of the 570s total).
-MH_H1 = "cast(conv(substr(md5(s), 1, 14), 16, 10) as bigint)"
-MH_H2 = "cast(conv(substr(md5(s), 17, 14), 16, 10) as bigint)"
+# MinHash family: ONE md5 per shingle row -> 40-bit base hash h, then
+# per-index multiply permutations mh_i = min((a_i * h) mod 2^40) with
+# fixed odd 22-bit multipliers a_i (odd multiply mod a power of two is
+# a bijection of the 40-bit space, so each index is an independent
+# random permutation; 22*40 bits keeps every product < 2^62 — no
+# overflow in Spark OR DuckDB BIGINT, even under ANSI mode).
+#
+# History, because both endpoints failed at 400k pages: round 2's
+# per-index SALTED md5s (true independence, n_hashes md5 calls per
+# shingle) made signatures the bottleneck (227s of 570s); the round-3
+# Kirsch-Mitzenmacher replacement min(h1 + i*h2) is one md5 but has
+# only TWO degrees of freedom — every index's argmin lies on the
+# Pareto frontier of the same (h1, h2) point set, so docs sharing a
+# couple of corpus-hot shingles agreed on whole bands at once and the
+# band join emitted 56M candidate pairs for 4k true dups no matter how
+# many hashes per band. Independent permutations of one shared base
+# hash keep the one-md5 cost AND decorrelate the argmins.
+MH_H = "cast(conv(substr(md5(s), 1, 10), 16, 10) as bigint)"
+MH_MASK = (1 << 40) - 1
 
 
-def _with_hash_pair(ex: DataFrame) -> DataFrame:
-    """Adds (__h1, __h2) to an exploded shingle frame with column ``s``;
-    subexpression elimination computes md5(s) once per row."""
-    return ex.withColumn("__h1", F.expr(MH_H1)).withColumn("__h2", F.expr(MH_H2))
+def _mh_multipliers(n_hashes: int) -> list[int]:
+    """Deterministic odd 22-bit multipliers, identical in the oracle."""
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"mh:{i}".encode()).hexdigest()[:6], 16) & ((1 << 22) - 1)) | 1
+        for i in range(n_hashes)
+    ]
+
+
+def _with_shingle_hash(ex: DataFrame) -> DataFrame:
+    """Adds the 40-bit base hash ``__h`` to an exploded shingle frame
+    with column ``s``."""
+    return ex.withColumn("__h", F.expr(MH_H))
 
 
 def _signature_aggs(n_hashes: int) -> list:
-    """The one place the MinHash definition lives: ``min(h1 + i*h2)``
-    over a ``_with_hash_pair`` frame (mirrored verbatim by the gate
-    oracle's mh_cols SQL)."""
+    """The one place the MinHash definition lives: ``min((a_i * h) &
+    MH_MASK)`` over a ``_with_shingle_hash`` frame (mirrored verbatim
+    by the gate oracle's mh_cols SQL)."""
     return [
-        F.min(F.col("__h1") + F.lit(i) * F.col("__h2")).alias(f"mh_{i}")
-        for i in range(n_hashes)
+        F.min((F.lit(a) * F.col("__h")).bitwiseAND(F.lit(MH_MASK))).alias(f"mh_{i}")
+        for i, a in enumerate(_mh_multipliers(n_hashes))
     ]
 
 
@@ -134,7 +160,7 @@ def minhash_signatures(
     tokenize+shingle expression once PER HASH — 8x the work.)
     """
     sh = _with_shingles(df, id_col, text_col, n)
-    ex = _with_hash_pair(sh.select("id", F.posexplode("__sh").alias("pos", "s")))
+    ex = _with_shingle_hash(sh.select("id", F.posexplode("__sh").alias("pos", "s")))
     rebuilt_sh = F.transform(
         F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda x: x["s"]
     ).alias("__sh")
@@ -165,7 +191,7 @@ def minhash_lsh_pairs(
     """
     rows_per_band = n_hashes // n_bands
     sh = _with_shingles(df, id_col, text_col, n).persist()
-    ex = _with_hash_pair(sh.select("id", F.explode("__sh").alias("s")))
+    ex = _with_shingle_hash(sh.select("id", F.explode("__sh").alias("s")))
     # persist: the banded union reads sig once per band and the LSH
     # self-join reads the union from BOTH sides — without the cache the
     # explode+md5+groupBy signature pass re-runs up to 2*n_bands times

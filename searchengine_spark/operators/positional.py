@@ -41,12 +41,45 @@ MERGE_RESULT = StructType(
 )
 
 
+def _near_merge2(a: list[int], b: list[int], dist: int) -> list[int]:
+    """k=2 specialization of the generic pointer walk below — identical
+    trace (pinned by test_properties): advance b past a[i]; exhaust ->
+    done; gap > dist -> advance a only; match -> emit b, advance both."""
+    la, lb = len(a), len(b)
+    i = j = 0
+    out: list[int] = []
+    while i < la:
+        prev = a[i]
+        while j < lb and b[j] <= prev:
+            j += 1
+        if j >= lb:
+            return out
+        if b[j] - prev > dist:
+            i += 1
+        else:
+            out.append(b[j])
+            i += 1
+            j += 1
+    return out
+
+
 def near_merge(arrays: Sequence[np.ndarray], dist: int) -> list[int]:
     """Greedy ordered-proximity merge (QryIopNear.java:40-76 semantics)."""
     k = len(arrays)
     # plain-int lists: numpy scalar indexing in the pointer loops is
     # ~10x slower than list indexing (same trick as the PNG defilter)
     arrays = [a.tolist() if isinstance(a, np.ndarray) else list(a) for a in arrays]
+    if k == 2:
+        if not arrays[0] or not arrays[1]:
+            return []
+        return _near_merge2(arrays[0], arrays[1], dist)
+    return _near_merge_any(arrays, dist)
+
+
+def _near_merge_any(arrays: list[list[int]], dist: int) -> list[int]:
+    """Generic k-way walk (also the k=2 reference for the equivalence
+    property test)."""
+    k = len(arrays)
     lens = [len(a) for a in arrays]
     if any(n == 0 for n in lens):
         return []
@@ -74,10 +107,63 @@ def near_merge(arrays: Sequence[np.ndarray], dist: int) -> list[int]:
     return out
 
 
+def _window_merge2(a: list[int], b: list[int], dist: int) -> list[int]:
+    """k=2 specialization of the generic min/max walk below — identical
+    trace: match (|x-y| < dist) emits max and advances both; otherwise
+    every pointer skips positions <= min (only the min side moves for
+    strictly-increasing lists, but the skip loops mirror the generic
+    <=-min rule exactly, including dist <= 0 on equal positions)."""
+    la, lb = len(a), len(b)
+    i = j = 0
+    out: list[int] = []
+    while i < la and j < lb:
+        x = a[i]
+        y = b[j]
+        if x < y:
+            if y - x < dist:
+                out.append(y)
+                i += 1
+                j += 1
+            else:
+                i += 1
+                while i < la and a[i] <= x:
+                    i += 1
+        elif y < x:
+            if x - y < dist:
+                out.append(x)
+                i += 1
+                j += 1
+            else:
+                j += 1
+                while j < lb and b[j] <= y:
+                    j += 1
+        elif dist > 0:
+            out.append(x)
+            i += 1
+            j += 1
+        else:
+            i += 1
+            while i < la and a[i] <= x:
+                i += 1
+            j += 1
+            while j < lb and b[j] <= y:
+                j += 1
+    return out
+
+
 def window_merge(arrays: Sequence[np.ndarray], dist: int) -> list[int]:
     """Unordered min/max sliding merge (QryIopWindow.java:40-70 semantics)."""
     k = len(arrays)
     arrays = [a.tolist() if isinstance(a, np.ndarray) else list(a) for a in arrays]
+    if k == 2:
+        return _window_merge2(arrays[0], arrays[1], dist)
+    return _window_merge_any(arrays, dist)
+
+
+def _window_merge_any(arrays: list[list[int]], dist: int) -> list[int]:
+    """Generic k-way walk (also the k=2 reference for the equivalence
+    property test)."""
+    k = len(arrays)
     lens = [len(a) for a in arrays]
     ptr = [0] * k
     out: list[int] = []
@@ -101,11 +187,13 @@ def window_merge(arrays: Sequence[np.ndarray], dist: int) -> list[int]:
                 ptr[i] = j
 
 
-def positional_merge_udf(kind: str, dist: int, n_args: int):
+def positional_merge_udf(kind: str, dist: int, n_args: int, with_positions: bool = True):
     """pandas UDF: n binary position columns -> struct<tf, positions>.
 
     Rows where the merge produces no positions yield tf=0 (callers
     filter ``tf > 0`` — the reference only appends non-empty postings).
+    ``with_positions=False`` (op feeds #SCORE directly, only tf is
+    read) skips the batch re-encode of match positions.
     """
     merge = near_merge if kind == "near" else window_merge
 
@@ -125,8 +213,9 @@ def positional_merge_udf(kind: str, dist: int, n_args: int):
             pos = merge(arrays, dist)
             if pos:
                 tfs[r] = len(pos)
-                hit_rows.append(r)
-                hit_pos.append(pos)
+                if with_positions:
+                    hit_rows.append(r)
+                    hit_pos.append(pos)
         # mirror of the decode side: ONE vectorized encode pass per batch
         for r, blob in zip(hit_rows, encode_positions_many(hit_pos)):
             blobs[r] = blob

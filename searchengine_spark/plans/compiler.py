@@ -144,7 +144,12 @@ class Compiler:
     # Iop compilation
     # ------------------------------------------------------------------
 
-    def compile_iop(self, node) -> IopResult:
+    def compile_iop(self, node, need_positions: bool = True) -> IopResult:
+        # need_positions=False when the caller only scores the result
+        # (tf/doc_len/stats): the merge kernels skip re-encoding match
+        # positions, and #SYN drops its union UDF entirely (pure JVM
+        # agg). Nested iop arguments always pass True — their parents
+        # consume the position lists.
         if isinstance(node, TermNode):
             cond = (F.col("term") == node.term) & (F.col("field") == node.field)
             if self.index.n_buckets:
@@ -171,15 +176,17 @@ class Compiler:
                 u = children[0].frame
                 for c in children[1:]:
                     u = u.unionByName(c.frame)
-            fr = (
-                u.groupBy("doc_id")
-                .agg(
-                    F.sum("tf").cast("int").alias("tf"),
-                    F.max("doc_len").alias("doc_len"),
-                    syn_union_positions(F.collect_list("positions")).alias("positions"),
+            aggs = [
+                F.sum("tf").cast("int").alias("tf"),
+                F.max("doc_len").alias("doc_len"),
+            ]
+            cols = ["doc_id", "tf", "doc_len"]
+            if need_positions:
+                aggs.append(
+                    syn_union_positions(F.collect_list("positions")).alias("positions")
                 )
-                .select("doc_id", "tf", "doc_len", "positions")
-            )
+                cols.append("positions")
+            fr = u.groupBy("doc_id").agg(*aggs).select(*cols)
             return IopResult(fr, node.field, _temps=self.index._temps)
 
         # near / window: co-locate the k position lists per doc, then the
@@ -211,16 +218,14 @@ class Compiler:
                     how="inner",
                 )
             pcols = [F.col(f"__p{i}") for i in range(k)]
-        merge = positional_merge_udf(node.op, node.dist, k)
+        merge = positional_merge_udf(node.op, node.dist, k, with_positions=need_positions)
+        out_cols = ["doc_id", F.col("__m.tf").alias("tf"), "doc_len"]
+        if need_positions:
+            out_cols.append(F.col("__m.positions").alias("positions"))
         fr = (
             joined.withColumn("__m", merge(*pcols))
             .where(F.col("__m.tf") > 0)
-            .select(
-                "doc_id",
-                F.col("__m.tf").alias("tf"),
-                "doc_len",
-                F.col("__m.positions").alias("positions"),
-            )
+            .select(*out_cols)
         )
         return IopResult(fr, node.field, _temps=self.index._temps)
 
@@ -740,7 +745,7 @@ class Compiler:
 
     def _leaf(self, node: SopNode) -> ScoreResult:
         m = self.model
-        iop = self.compile_iop(node.args[0])
+        iop = self.compile_iop(node.args[0], need_positions=False)
         f = iop.field
         fr = iop.frame
 

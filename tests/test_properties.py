@@ -182,3 +182,34 @@ def test_flat_strategy_bit_identical_to_join_path(pages_index, data):
     assert set(flat) == set(join), q
     for d, s in join.items():
         assert flat[d] == s, (q, d, flat[d], s)
+
+
+# --- k=2 fast-path merges are trace-identical to the generic walks ----
+
+two_lists = st.lists(
+    st.lists(st.integers(min_value=0, max_value=120), min_size=0, max_size=25).map(
+        lambda xs: sorted(set(xs))
+    ),
+    min_size=2,
+    max_size=2,
+)
+
+
+@settings(max_examples=500, deadline=None)
+@given(two_lists, st.integers(min_value=1, max_value=12))
+def test_near2_fast_path_equals_generic(arrays, dist):
+    from searchengine_spark.operators.positional import _near_merge_any
+
+    assert near_merge(arrays, dist) == _near_merge_any(
+        [list(a) for a in arrays], dist
+    )
+
+
+@settings(max_examples=500, deadline=None)
+@given(two_lists, st.integers(min_value=0, max_value=12))
+def test_window2_fast_path_equals_generic(arrays, dist):
+    from searchengine_spark.operators.positional import _window_merge_any
+
+    assert window_merge(arrays, dist) == _window_merge_any(
+        [list(a) for a in arrays], dist
+    )

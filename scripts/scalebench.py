@@ -153,6 +153,47 @@ def main() -> None:
     )
     body_docs.unpersist()
 
+    # --- ANN / embedding similarity at the same row count ------------------
+    # Wider bucket keys than the sf-scale defaults: 4-bit keys put ~n/16
+    # vectors in every bucket, so at 400k the self-join would quadratically
+    # explode. 12/20-bit keys keep buckets O(100)/O(1) — the knob a real
+    # deployment turns with corpus size. plane_udf=True: one numpy matmul
+    # per Arrow batch instead of interpreted HOF lambdas (66s -> ~2s here;
+    # the literal path stays the gate/oracle default at sf scale).
+    from searchengine_spark.corpus import make_embeddings
+    from searchengine_spark.pipeline import similarity
+
+    emb = make_embeddings(spark, N_PAGES, dim=64, partitions=4 * CPUS).persist()
+    emb.count()
+    qids = [0, 100, 200]  # anchors of planted near-dups 99/199/299
+    brute_fn = lambda: similarity.cosine_topk(emb, qids, k=10).collect()  # noqa: E731
+    brute_rows = brute_fn()
+    report["p_ann_brute_sec"] = round(_best_of(brute_fn, 2), 3)
+    lsh_fn = lambda: similarity.lsh_bucket_topk(  # noqa: E731
+        emb, qids, k=10, n_tables=16, bits=12, dim=64, plane_udf=True
+    ).collect()
+    lsh_rows = lsh_fn()
+    report["p_ann_lsh_sec"] = round(_best_of(lsh_fn, 2), 3)
+    truth = {(r["query_id"], r["vec_id"]) for r in brute_rows}
+    got = {(r["query_id"], r["vec_id"]) for r in lsh_rows}
+    top1 = {(r["query_id"], r["vec_id"]) for r in brute_rows if r["rank"] == 1}
+    report["p_ann_lsh_recall_at10"] = round(len(truth & got) / max(1, len(truth)), 3)
+    report["p_ann_lsh_recall_at1"] = round(
+        len(top1 & got) / max(1, len(top1)), 3
+    )
+    nd_fn = lambda: similarity.embedding_near_dup_pairs(  # noqa: E731
+        emb, threshold=0.9, n_tables=8, bits=20, dim=64, plane_udf=True
+    )
+    t0 = time.time()
+    nd_pairs = {(r["id_a"], r["id_b"]) for r in nd_fn().collect()}
+    report["p_emb_near_dup_sec"] = round(time.time() - t0, 3)
+    planted = {(i - 99, i) for i in range(99, N_PAGES, 100)}
+    report["p_emb_near_dup_pairs"] = len(nd_pairs)
+    report["p_emb_near_dup_recall"] = round(
+        len(planted & nd_pairs) / max(1, len(planted)), 4
+    )
+    emb.unpersist()
+
     print(json.dumps(report, indent=2))
     with open(os.path.join(REPO, "SCALEBENCH.json"), "w") as fh:
         json.dump(report, fh, indent=2)

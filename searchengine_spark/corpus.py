@@ -87,6 +87,50 @@ def make_pages(spark: SparkSession, n: int, seed: int = 42, partitions: int | No
     return base.mapInPandas(gen, schema=PAGE_SCHEMA)
 
 
+EMB_SCHEMA = "vec_id bigint, embedding array<float>, label int"
+
+
+def make_embeddings(
+    spark: SparkSession,
+    n: int,
+    dim: int = 64,
+    seed: int = 42,
+    partitions: int | None = None,
+    dup_eps: float = 0.02,
+) -> DataFrame:
+    """Distributed deterministic embedding corpus (testdata schema:
+    ``vec_id bigint, embedding array<float>, label int``).
+
+    Pure codegen — every component is ``hash(anchor, j, seed)`` scaled
+    to [-1, 1], so output is byte-identical for any partitioning and no
+    Python runs per row. Near-dups mirror ``make_pages``: every 100th
+    vector reuses vector ``i-99``'s anchor plus ``dup_eps`` hash noise
+    (cos ≈ 0.999 vs ~N(0, 1/sqrt(dim)) for unrelated pairs), giving
+    n//100 planted pairs for recall accounting at any scale.
+    """
+    base = spark.range(0, n, 1, partitions or max(8, n // 50_000 + 1)).select(
+        F.col("id").alias("vec_id")
+    )
+    anchor = (
+        "CASE WHEN vec_id % 100 = 99 AND vec_id >= 99 "
+        "THEN vec_id - 99 ELSE vec_id END"
+    )
+    comp = (
+        f"(pmod(hash(__a, j, {seed}), 2001) - 1000) / 1000.0"
+        f" + {dup_eps!r} * (pmod(hash(vec_id, j, {seed + 1}), 2001) - 1000) / 1000.0"
+    )
+    return (
+        base.withColumn("__a", F.expr(anchor))
+        .select(
+            "vec_id",
+            F.expr(
+                f"transform(sequence(0, {dim - 1}), j -> cast({comp} as float))"
+            ).alias("embedding"),
+            F.expr(f"cast(pmod(hash(__a, {seed + 2}), 16) as int)").alias("label"),
+        )
+    )
+
+
 def extract_fields(pages: DataFrame) -> DataFrame:
     """Derive the reference's five searchable fields (QryParser.java:162-166).
 

@@ -14,14 +14,18 @@
   planes (gate ``ann_lsh_topk``).
 
 Plane shipping auto-switches on dimension (``PLANE_LITERAL_MAX_DIM``):
-at dim<=128 the literal arrays are a few hundred KB of plan text —
-cheap, and they keep the whole bucket computation inside whole-stage
-codegen (and replayable in the DuckDB oracle). At word2vec-scale dims
-(768+) the bucket step becomes an Arrow-batched pandas UDF whose
-closure captures the (n_tables, bits, dim) plane tensor — Spark
-broadcasts the serialized closure once per executor and all
-n_tables x bits signs come from ONE numpy matmul per batch, so plan
-text stays O(1) in dim.
+at dim<=128 the literal arrays are a few hundred KB of plan text and
+the sign bits are replayable term-for-term in the DuckDB oracle (the
+gate path). At word2vec-scale dims (768+) — or whenever
+``plane_udf=True`` forces it — the bucket step becomes an
+Arrow-batched pandas UDF whose closure captures the
+(n_tables, bits, dim) plane tensor: Spark broadcasts the serialized
+closure once per executor and all n_tables x bits signs come from ONE
+numpy matmul per batch. The UDF is the row-count scale path too, not
+just the dim path: Spark evaluates higher-order-function lambdas
+interpreted (never codegen-vectorized), so the literal dot products
+cost tables*bits*dim lambda steps per vector — 66s for 400k vectors
+at 8x16x64 vs ~2s for the matmul (scripts/scalebench.py).
 
 Both paths emit the bucket keys as one ``array<string>`` column that
 ``posexplode`` stacks into (table, bucket) rows — a single scan
@@ -94,16 +98,25 @@ def _hyperplanes(dim: int, n_tables: int, bits: int, seed: int = 13) -> np.ndarr
     return rng.standard_normal((n_tables, bits, dim))
 
 
-def _bucket_array_col(planes: np.ndarray, vec_col: str = "__v") -> F.Column:
+def _bucket_array_col(
+    planes: np.ndarray, vec_col: str = "__v", plane_udf: bool | None = None
+) -> F.Column:
     """array<string> of per-table sign-bit bucket keys for one vector.
 
     dim <= PLANE_LITERAL_MAX_DIM: plane rows inline as SQL literals
-    (whole-stage codegen, oracle-replayable). Above that: pandas UDF,
-    planes in the closure (broadcast once per executor), one
-    (batch x dim) @ (dim x T*B) matmul for every key at once.
+    (oracle-replayable: the ordered left-fold sum is what the DuckDB
+    gate replays). Above that — or when ``plane_udf=True`` forces it —
+    a pandas UDF with the planes in its closure (broadcast once per
+    executor), one (batch x dim) @ (dim x T*B) matmul for every key at
+    once. Force the UDF at scale even for small dims: Spark evaluates
+    higher-order-function lambdas interpreted, so n_tables*bits literal
+    dot products cost ~tables*bits*dim lambda steps PER VECTOR
+    (measured 66s for 400k x 8x16x64 vs ~2s for the matmul).
     """
     n_tables, bits, dim = planes.shape
-    if dim <= PLANE_LITERAL_MAX_DIM:
+    if plane_udf is None:
+        plane_udf = dim > PLANE_LITERAL_MAX_DIM
+    if not plane_udf:
         tables = []
         for t in range(n_tables):
             bit_exprs = []
@@ -144,6 +157,7 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 13,
+    plane_udf: bool | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH.
 
@@ -157,7 +171,7 @@ def lsh_bucket_topk(
     base = with_norm(emb, vec_col).select(
         F.col(id_col).cast("long").alias("vec_id"), "__v", "__norm"
     )
-    hashed = base.withColumn("__bks", _bucket_array_col(planes)).persist()
+    hashed = base.withColumn("__bks", _bucket_array_col(planes, plane_udf=plane_udf)).persist()
     stacked = hashed.select(
         "vec_id", "__v", "__norm", F.posexplode("__bks").alias("table", "bucket")
     )
@@ -192,6 +206,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 13,
+    plane_udf: bool | None = None,
 ) -> DataFrame:
     """(id_a < id_b, cos >= threshold) via the same LSH bucketing."""
     planes = _hyperplanes(dim, n_tables, bits, seed)
@@ -201,26 +216,48 @@ def embedding_near_dup_pairs(
     # persist before the self-join: both sides read this frame, so an
     # unpersisted plan would run the plane-projection hashing twice
     # (same pattern as minhash_lsh_pairs' signature cache)
-    hashed = base.withColumn("__bks", _bucket_array_col(planes)).persist()
+    hashed = base.withColumn("__bks", _bucket_array_col(planes, plane_udf=plane_udf)).persist()
     stacked = hashed.select(
         "vec_id", "__v", "__norm", F.posexplode("__bks").alias("table", "bucket")
     )
+    # candidate generation ships ONLY ids: a pair colliding in many
+    # tables would otherwise drag both full vectors through the
+    # dropDuplicates shuffle once per collision (the same
+    # narrow-candidates lesson as the MinHash verify semi-join; with
+    # plane_udf=True and scale-sized bucket keys the 400k-vector run
+    # went 139s -> 19s)
+    ids = stacked.select("vec_id", "table", "bucket")
     cand = (
-        stacked.alias("x")
-        .join(stacked.alias("y"), on=["table", "bucket"])
+        ids.alias("x")
+        .join(ids.alias("y"), on=["table", "bucket"])
         .where(F.col("x.vec_id") < F.col("y.vec_id"))
         .select(
             F.col("x.vec_id").alias("id_a"),
             F.col("y.vec_id").alias("id_b"),
-            F.col("x.__v").alias("__va"),
-            F.col("x.__norm").alias("__na"),
-            F.col("y.__v").alias("__vb"),
-            F.col("y.__norm").alias("__nb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    vecs = hashed.select("vec_id", "__v", "__norm")
+    pairs = (
+        cand.join(
+            vecs.select(
+                F.col("vec_id").alias("id_a"),
+                F.col("__v").alias("__va"),
+                F.col("__norm").alias("__na"),
+            ),
+            on="id_a",
+        )
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("id_b"),
+                F.col("__v").alias("__vb"),
+                F.col("__norm").alias("__nb"),
+            ),
+            on="id_b",
+        )
+    )
     cos = F.expr(DOT.format(a="__va", b="__vb")) / (F.col("__na") * F.col("__nb"))
     return (
-        cand.select("id_a", "id_b", F.round(cos, 6).alias("cos"))
+        pairs.select("id_a", "id_b", F.round(cos, 6).alias("cos"))
         .where(F.col("cos") >= threshold)
     )

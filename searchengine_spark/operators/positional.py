@@ -221,7 +221,14 @@ def positional_merge_udf(kind: str, dist: int, n_args: int, with_positions: bool
             blobs[r] = blob
         return pd.DataFrame({"tf": tfs, "positions": blobs})
 
-    return _merge
+    # The merge IS deterministic; the marker only disables Catalyst
+    # optimizations that duplicate the expression — with `where(__m.tf
+    # > 0)` + `select(__m.*)` the field accesses get copied into filter
+    # AND project, and UDF extraction then plans TWO ArrowEvalPython
+    # stages, running the whole merge twice (seen in the 400k-page
+    # plans; compiler filters on the projected alias for the same
+    # reason).
+    return _merge.asNondeterministic()
 
 
 @F.pandas_udf(BinaryType())

@@ -222,10 +222,16 @@ class Compiler:
         out_cols = ["doc_id", F.col("__m.tf").alias("tf"), "doc_len"]
         if need_positions:
             out_cols.append(F.col("__m.positions").alias("positions"))
+        # project the struct fields BEFORE filtering: a `where` on
+        # `__m.tf` followed by a select of `__m.*` duplicates the field
+        # accesses into filter and project, and UDF extraction then
+        # plans TWO ArrowEvalPython stages — the whole merge ran twice
+        # (seen in the 400k PLANS.md). Filtering on the projected alias
+        # keeps one Arrow pass.
         fr = (
             joined.withColumn("__m", merge(*pcols))
-            .where(F.col("__m.tf") > 0)
             .select(*out_cols)
+            .where(F.col("tf") > 0)
         )
         return IopResult(fr, node.field, _temps=self.index._temps)
 

@@ -97,6 +97,8 @@ def make_embeddings(
     seed: int = 42,
     partitions: int | None = None,
     dup_eps: float = 0.02,
+    n_clusters: int = 0,
+    cluster_spread: float = 0.35,
 ) -> DataFrame:
     """Distributed deterministic embedding corpus (testdata schema:
     ``vec_id bigint, embedding array<float>, label int``).
@@ -107,17 +109,33 @@ def make_embeddings(
     vector reuses vector ``i-99``'s anchor plus ``dup_eps`` hash noise
     (cos ≈ 0.999 vs ~N(0, 1/sqrt(dim)) for unrelated pairs), giving
     n//100 planted pairs for recall accounting at any scale.
+
+    ``n_clusters > 0`` switches to the clustered regime real embedding
+    corpora live in: each vector = its cluster's centroid +
+    ``cluster_spread`` hash noise, so same-cluster cosines sit near
+    ``1/(1+spread^2)`` (~0.89 at the default) and a vector's true
+    nearest neighbours are its cluster-mates — the regime approximate
+    top-k is meant for (isotropic n_clusters=0 is its worst case).
+    ``label`` becomes the cluster id.
     """
     base = spark.range(0, n, 1, partitions or max(8, n // 50_000 + 1)).select(
         F.col("id").alias("vec_id")
     )
-    anchor = (
+    dup_anchor = (
         "CASE WHEN vec_id % 100 = 99 AND vec_id >= 99 "
         "THEN vec_id - 99 ELSE vec_id END"
     )
+    if n_clusters > 0:
+        anchor = f"pmod(hash({dup_anchor}, {seed + 3}), {n_clusters})"
+        eps = cluster_spread
+        label = "cast(__a as int)"
+    else:
+        anchor = dup_anchor
+        eps = dup_eps
+        label = f"cast(pmod(hash(__a, {seed + 2}), 16) as int)"
     comp = (
         f"(pmod(hash(__a, j, {seed}), 2001) - 1000) / 1000.0"
-        f" + {dup_eps!r} * (pmod(hash(vec_id, j, {seed + 1}), 2001) - 1000) / 1000.0"
+        f" + {eps!r} * (pmod(hash(vec_id, j, {seed + 1}), 2001) - 1000) / 1000.0"
     )
     return (
         base.withColumn("__a", F.expr(anchor))
@@ -126,7 +144,7 @@ def make_embeddings(
             F.expr(
                 f"transform(sequence(0, {dim - 1}), j -> cast({comp} as float))"
             ).alias("embedding"),
-            F.expr(f"cast(pmod(hash(__a, {seed + 2}), 16) as int)").alias("label"),
+            F.expr(label).alias("label"),
         )
     )
 

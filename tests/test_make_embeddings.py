@@ -56,6 +56,40 @@ def test_near_dup_pairs_recover_planted(spark):
     assert got == planted
 
 
+def test_clustered_mode_cosine_structure(spark):
+    rows = {
+        r["vec_id"]: (r["embedding"], r["label"])
+        for r in make_embeddings(spark, 300, dim=64, n_clusters=10).collect()
+    }
+    by_cluster = {}
+    for vid, (v, lab) in rows.items():
+        by_cluster.setdefault(lab, []).append(v)
+    assert len(by_cluster) == 10
+    some_cluster = next(vs for vs in by_cluster.values() if len(vs) >= 2)
+    assert _cos(some_cluster[0], some_cluster[1]) > 0.8
+    a = next(iter(by_cluster[min(by_cluster)]))
+    b = next(iter(by_cluster[max(by_cluster)]))
+    assert _cos(a, b) < 0.6
+
+
+def test_clustered_lsh_topk_recall(spark):
+    """In the clustered regime LSH recall@10 is high (the isotropic
+    regime pinned elsewhere is its worst case)."""
+    emb = make_embeddings(spark, 4000, dim=64, n_clusters=40)
+    qids = [0, 1, 2]
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk(emb, qids, k=10).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.lsh_bucket_topk(
+            emb, qids, k=10, n_tables=16, bits=8, dim=64, plane_udf=True
+        ).collect()
+    }
+    assert len(truth & got) / len(truth) >= 0.8
+
+
 def test_plane_udf_buckets_match_literal(spark):
     """The forced-UDF matmul path (the row-count scale path) produces the
     same bucket keys as the oracle-replayable literal path."""

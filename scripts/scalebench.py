@@ -34,6 +34,7 @@ sys.path.insert(0, REPO)
 N_PAGES = int(os.environ.get("SCALEBENCH_PAGES", "400000"))
 CPUS = int(os.environ.get("SCALEBENCH_CPUS", "32"))
 KEEP_DIR = os.environ.get("SCALEBENCH_INDEX_DIR", "")
+OUT = os.environ.get("SCALEBENCH_OUT", "SCALEBENCH.json")
 
 
 def _time(fn) -> float:
@@ -90,6 +91,11 @@ def main() -> None:
     report["index_write_sec"] = round(write_sec, 3)
     report["index_dir"] = pdir
     pages.unpersist()
+    # queries run against the persisted copy from here on; the in-memory
+    # build caches (55M postings at 1M pages) would otherwise evict the
+    # later pipeline stages' caches into silent recompute (measured 4x
+    # on the 1M minhash entry)
+    idx_mem.release()
 
     idx = read_index(spark, pdir)
     eng = SearchEngine(idx)
@@ -181,8 +187,14 @@ def main() -> None:
     report["p_ann_lsh_recall_at1"] = round(
         len(top1 & got) / max(1, len(top1)), 3
     )
+    # bucket width scales with corpus size: fixed-width keys collide
+    # quadratically as n grows past 2^bits (the 1M run proved it)
+    import math as _math
+
+    nd_bits = max(16, int(_math.ceil(_math.log2(N_PAGES))) + 2)
+    report["p_emb_near_dup_bits"] = nd_bits
     nd_fn = lambda: similarity.embedding_near_dup_pairs(  # noqa: E731
-        emb, threshold=0.9, n_tables=8, bits=20, dim=64, plane_udf=True
+        emb, threshold=0.9, n_tables=8, bits=nd_bits, dim=64, plane_udf=True
     )
     t0 = time.time()
     nd_pairs = {(r["id_a"], r["id_b"]) for r in nd_fn().collect()}
@@ -216,7 +228,7 @@ def main() -> None:
     embc.unpersist()
 
     print(json.dumps(report, indent=2))
-    with open(os.path.join(REPO, "SCALEBENCH.json"), "w") as fh:
+    with open(os.path.join(REPO, OUT), "w") as fh:
         json.dump(report, fh, indent=2)
 
 

@@ -153,6 +153,26 @@ class InvertedIndex:
         self._build_temps = []
         return n
 
+    def release(self) -> None:
+        """Unpersist EVERYTHING this handle cached (postings, stats,
+        build temps, derived frames). For when the in-memory index is
+        done serving — e.g. after ``write_index`` when queries move to
+        the persisted copy; a 55M-posting cache left behind evicts
+        later pipeline stages' caches into silent recompute (measured
+        4x on the 1M-page minhash run)."""
+        for fr in (
+            [self.postings, self.term_stats, self.doc_stats, self.docs]
+            + ([self.block_stats] if self.block_stats is not None else [])
+            + self._build_temps
+            + self._temps
+        ):
+            try:
+                fr.unpersist()
+            except Exception:
+                pass
+        self._build_temps = []
+        self._temps = []
+
     def trim_temps(self, max_keep: int = 16) -> None:
         """Bound the derived-frame registry (NEAR/WINDOW frames persisted
         for stats): unpersist the oldest beyond ``max_keep`` so executor

@@ -1106,6 +1106,69 @@ def _sq_docset(query: str, model):
     return fn
 
 
+# -- IR evaluation metrics oracle --------------------------------------------
+# Deterministic run+qrels derived from the documents table with
+# md5-portable hashes (same construction replayed below in DuckDB),
+# then the full trec_eval metric math: windows for cum-rel / ideal
+# ranks, order-fixed list_reduce folds mirroring eval._FOLD, ln-composite
+# log2, round(6). Reference behavior: the HW test.py trec_eval flow
+# (Homeworks/HW2/test.py:24-63) that the engine-side eval module replaces.
+
+IR_QIDS = ("q1", "q2", "q3")
+IR_DEPTH = 40
+IR_K = 10
+
+
+def ir_metrics_sql(depth: int = IR_DEPTH, k: int = IR_K) -> str:
+    qids = ", ".join(f"'{q}'" for q in IR_QIDS)
+    fold = "(acc, x) -> acc + x"
+    ln_gain = "({rel} * ln(2.0)) / ln({pos} + 1.0)"
+    return f"""
+WITH qs AS (SELECT unnest([{qids}]) AS qid),
+scored AS (
+  SELECT qs.qid, CAST(d.doc_id AS VARCHAR) AS ext_id,
+         CAST(CAST('0x' || substr(md5(qs.qid || '#' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) AS h,
+         CAST(CAST('0x' || substr(md5('r#' || qs.qid || '#' || CAST(d.doc_id AS VARCHAR)), 1, 2) AS UBIGINT) AS BIGINT) AS rh
+  FROM documents d CROSS JOIN qs),
+qrels AS (SELECT qid, ext_id,
+                 CASE WHEN rh % 16 = 0 THEN 2 WHEN rh % 5 = 0 THEN 1 ELSE 0 END AS rel
+          FROM scored),
+run AS (SELECT qid, ext_id, rank FROM (
+          SELECT qid, ext_id,
+                 CAST(row_number() OVER (PARTITION BY qid ORDER BY h DESC, ext_id) AS INT) AS rank
+          FROM scored) __w WHERE rank <= {depth}),
+j AS (SELECT r.qid, r.ext_id, r.rank, COALESCE(q.rel, 0) AS rel,
+             CASE WHEN COALESCE(q.rel, 0) > 0 THEN 1 ELSE 0 END AS isrel
+      FROM run r LEFT JOIN qrels q ON r.qid = q.qid AND r.ext_id = q.ext_id),
+jw AS (SELECT *, SUM(isrel) OVER (PARTITION BY qid ORDER BY rank) AS cum FROM j),
+jc AS (SELECT *,
+         CASE WHEN isrel = 1 THEN CAST(cum AS DOUBLE) / CAST(rank AS DOUBLE) ELSE 0.0 END AS apc,
+         CASE WHEN rank <= {k} THEN {ln_gain.format(rel='CAST(rel AS DOUBLE)', pos='CAST(rank AS DOUBLE)')} ELSE 0.0 END AS gain
+       FROM jw),
+ret AS (SELECT qid, CAST(count(*) AS INT) AS n_ret,
+               CAST(SUM(isrel) AS INT) AS n_rel_ret,
+               CAST(SUM(CASE WHEN rank <= {k} THEN isrel ELSE 0 END) AS INT) AS relk,
+               MIN(CASE WHEN isrel = 1 THEN rank END) AS frank,
+               COALESCE(list_reduce(list(apc ORDER BY rank), {fold}), 0.0) AS apsum,
+               COALESCE(list_reduce(list(gain ORDER BY rank), {fold}), 0.0) AS dcg
+        FROM jc GROUP BY qid),
+qi AS (SELECT qid, CAST(count(*) AS INT) AS n_rel,
+              COALESCE(list_reduce(list(
+                CASE WHEN i <= {k} THEN {ln_gain.format(rel='CAST(rel AS DOUBLE)', pos='CAST(i AS DOUBLE)')} ELSE 0.0 END
+                ORDER BY i), {fold}), 0.0) AS idcg
+       FROM (SELECT qid, rel,
+                    CAST(row_number() OVER (PARTITION BY qid ORDER BY rel DESC, ext_id) AS INT) AS i
+             FROM qrels WHERE rel > 0) t GROUP BY qid)
+SELECT r.qid, r.n_ret, COALESCE(q.n_rel, 0) AS n_rel, r.n_rel_ret,
+       round(CAST(r.relk AS DOUBLE) / {float(k)!r}, 6) AS p_at_k,
+       round(COALESCE(CAST(r.relk AS DOUBLE) / CAST(q.n_rel AS DOUBLE), 0.0), 6) AS recall_at_k,
+       round(COALESCE(1.0 / CAST(r.frank AS DOUBLE), 0.0), 6) AS rr,
+       round(COALESCE(r.apsum / CAST(q.n_rel AS DOUBLE), 0.0), 6) AS ap,
+       round(COALESCE(CASE WHEN q.idcg > 0.0 THEN r.dcg / q.idcg END, 0.0), 6) AS ndcg_at_k
+FROM ret r LEFT JOIN qi q ON r.qid = q.qid ORDER BY r.qid
+"""
+
+
 def registry() -> dict[str, tuple]:
     """name -> (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None)."""
     K = 50
@@ -1757,5 +1820,45 @@ ORDER BY doc_id
         ).orderBy("id_a", "id_b"),
         emb_near_dup_sql(0.45),
     )
+    # engine-side trec_eval: deterministic run+qrels from the documents
+    # table (md5-portable hashes), scored by eval.ir_metrics
+    def _ir_metrics(spark: SparkSession, sf: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        from searchengine_spark.eval import ir_metrics
+
+        d = docs_df(spark, sf).select(F.col("doc_id").cast("string").alias("ext_id"))
+        qs = spark.createDataFrame([(q,) for q in IR_QIDS], "qid string")
+        scored = d.crossJoin(qs).select(
+            "qid",
+            "ext_id",
+            F.expr(
+                "cast(conv(substr(md5(concat(qid, '#', ext_id)), 1, 15), 16, 10) as bigint)"
+            ).alias("h"),
+            F.expr(
+                "cast(conv(substr(md5(concat('r#', qid, '#', ext_id)), 1, 2), 16, 10) as bigint)"
+            ).alias("rh"),
+        )
+        qrels = scored.select(
+            "qid",
+            "ext_id",
+            F.expr(
+                "cast(CASE WHEN rh % 16 = 0 THEN 2 WHEN rh % 5 = 0 THEN 1 ELSE 0 END as int)"
+            ).alias("rel"),
+        )
+        run = (
+            scored.withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy("qid").orderBy(F.desc("h"), F.asc("ext_id"))
+                ),
+            )
+            .where(F.col("rank") <= IR_DEPTH)
+            .select("qid", "ext_id", "rank")
+        )
+        return ir_metrics(run, qrels, k=IR_K).orderBy("qid")
+
+    r["ir_metrics"] = (_ir_metrics, ir_metrics_sql())
+
     _ = math  # keep import (used by callers/debug)
     return r

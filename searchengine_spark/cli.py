@@ -118,6 +118,39 @@ def run(param_file: str, spark=None) -> str:
     if cfg.fb and cfg.fb.get("expansion_file"):
         with open(cfg.fb["expansion_file"], "w") as fh:
             fh.write("\n".join(expansion_lines) + "\n")
+
+    if cfg.eval:
+        # engine-side trec_eval (extension; the reference pipes the run
+        # file into external trec_eval): per-query lines then 'all'
+        # summary rows, trec_eval -q style `metric<tab>qid<tab>value`
+        from searchengine_spark.eval import ir_metrics, mean_metrics
+        from searchengine_spark.sources.trec import read_qrels, read_run_file as _rrf
+
+        per = ir_metrics(
+            _rrf(spark, cfg.output_path),
+            read_qrels(spark, cfg.eval["qrels_file"]),
+            k=cfg.eval["k"],
+        )
+        lines = []
+        metrics = ("p_at_k", "recall_at_k", "rr", "ap", "ndcg_at_k")
+        for r in sorted(per.collect(), key=lambda r: r["qid"]):
+            for m in metrics:
+                lines.append(f"{m}\t{r['qid']}\t{r[m]:.6f}")
+        mrow = mean_metrics(per).collect()[0]
+        for dst, src in (
+            ("num_q", "n_queries"),
+            ("map", "map"),
+            ("mrr", "mrr"),
+            ("mean_p_at_k", "mean_p_at_k"),
+            ("mean_recall_at_k", "mean_recall_at_k"),
+            ("mean_ndcg_at_k", "mean_ndcg_at_k"),
+        ):
+            v = mrow[src]
+            lines.append(
+                f"{dst}\tall\t{v:.6f}" if isinstance(v, float) else f"{dst}\tall\t{v}"
+            )
+        with open(cfg.eval["metrics_path"], "w") as fh:
+            fh.write("\n".join(lines) + "\n")
     _ = F
     return cfg.output_path
 

@@ -37,6 +37,10 @@ class RunConfig:
     output_length: int = 100
     fb: dict | None = None
     diversity: dict | None = None
+    # evalQrelsFile + evalMetricsPath opt into engine-side scoring of
+    # the run (eval.ir_metrics) — the reference shells out to trec_eval
+    # for this step, so these keys are an extension, not QryEval parity
+    eval: dict | None = None
 
     @classmethod
     def from_params(cls, p: dict[str, str]) -> "RunConfig":
@@ -71,6 +75,13 @@ class RunConfig:
                 "intents_file": p.get("diversity:intentsFile"),
                 "initial_ranking_file": p.get("diversity:initialRankingFile"),
             }
+        ev = None
+        if p.get("evalQrelsFile") and p.get("evalMetricsPath"):
+            ev = {
+                "qrels_file": p["evalQrelsFile"],
+                "metrics_path": p["evalMetricsPath"],
+                "k": int(p.get("evalK", 10)),
+            }
         return cls(
             index_path=p["indexPath"],
             query_file=p["queryFilePath"],
@@ -80,4 +91,5 @@ class RunConfig:
             output_length=int(p.get("trecEvalOutputLength", 100)),
             fb=fb,
             diversity=dv,
+            eval=ev,
         )

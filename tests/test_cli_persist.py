@@ -166,3 +166,35 @@ def test_cli_with_expansion_and_diversity(spark, persisted, tmp_path):
     lines = out.read_text().strip().splitlines()
     assert lines and lines[0].startswith("7 Q0 http://")
     assert exp.read_text().startswith("7: #wand(")
+
+
+def test_cli_eval_metrics_output(spark, persisted, tmp_path):
+    """evalQrelsFile + evalMetricsPath score the run engine-side
+    (trec_eval -q style metric<tab>qid<tab>value lines)."""
+    path, _ = persisted
+    qf = tmp_path / "q.qry"
+    qf.write_text("1: cerim dirim\n2: fulan gorim\n")
+    out = tmp_path / "run.teIn"
+    pf = tmp_path / "run.param"
+    pf.write_text(
+        f"indexPath={path}\nqueryFilePath={qf}\ntrecEvalOutputPath={out}\n"
+        "retrievalAlgorithm=bm25\ntrecEvalOutputLength=10\n"
+        f"evalQrelsFile={tmp_path / 'q.qrels'}\n"
+        f"evalMetricsPath={tmp_path / 'metrics.txt'}\nevalK=5\n"
+    )
+    (tmp_path / "q.qrels").write_text("1 0 http://placeholder.example/x 0\n")
+    cli.run(str(pf), spark=spark)
+    # qrels: the top result of query 1 is relevant, plus one unknown doc
+    top1 = out.read_text().strip().splitlines()[0].split()[2]
+    (tmp_path / "q.qrels").write_text(f"1 0 {top1} 2\n1 0 http://no.example/x 1\n")
+    cli.run(str(pf), spark=spark)
+    metrics = {}
+    for line in (tmp_path / "metrics.txt").read_text().strip().splitlines():
+        m, qid, v = line.split("\t")
+        metrics[(m, qid)] = float(v)
+    assert metrics[("rr", "1")] == 1.0
+    assert metrics[("p_at_k", "1")] == 0.2  # 1 relevant in top 5
+    assert metrics[("recall_at_k", "1")] == 0.5  # 1 of 2 relevant found
+    assert metrics[("ap", "2")] == 0.0  # no qrels for query 2
+    assert metrics[("num_q", "all")] == 2.0
+    assert metrics[("map", "all")] == metrics[("ap", "1")] / 2

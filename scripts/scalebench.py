@@ -227,6 +227,32 @@ def main() -> None:
     )
     embc.unpersist()
 
+    # --- engine-side trec_eval at scale ------------------------------------
+    # nq queries x depth-100 runs + 50 judged docs each, all codegen;
+    # the metrics job is a join + per-qid windows + one groupBy per side
+    from searchengine_spark.eval import ir_metrics, mean_metrics
+
+    nq = max(1000, N_PAGES // 4)
+    depth, judged = 100, 50
+    run = spark.range(nq * depth, numPartitions=4 * CPUS).selectExpr(
+        f"concat('q', cast(id div {depth} as string)) AS qid",
+        f"concat('d', cast(pmod((id div {depth}) * 7919 + pmod(id, {depth}) + 1, 100000) as string)) AS ext_id",
+        f"cast(pmod(id, {depth}) + 1 as int) AS rank",
+    )
+    qrels = spark.range(nq * judged, numPartitions=4 * CPUS).selectExpr(
+        f"concat('q', cast(id div {judged} as string)) AS qid",
+        f"concat('d', cast(pmod((id div {judged}) * 7919 + (pmod(id, {judged}) + 1) * 3, 100000) as string)) AS ext_id",
+        f"cast(CASE WHEN pmod(id, 3) = 0 THEN 2 ELSE 1 END as int) AS rel",
+    )
+    per = ir_metrics(run, qrels, k=10)
+    fn = lambda: per.count()  # noqa: E731
+    fn()
+    report["p_ir_metrics_n_queries"] = nq
+    report["p_ir_metrics_sec"] = round(_best_of(fn, 2), 3)
+    report["p_ir_metrics_map"] = float(
+        mean_metrics(per).collect()[0]["map"]
+    )
+
     print(json.dumps(report, indent=2))
     with open(os.path.join(REPO, OUT), "w") as fh:
         json.dump(report, fh, indent=2)

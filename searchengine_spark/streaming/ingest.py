@@ -60,6 +60,7 @@ def start_ingest(
     analyzer: str = "english",
     available_now: bool = True,
     field: str = "body",
+    reader_options: dict | None = None,
 ):
     """Stream page parquet files from ``input_dir`` into delta segments.
 
@@ -72,7 +73,13 @@ def start_ingest(
     there and stops (the batch-oriented test/ops mode); continuous mode
     just leaves the trigger default.
     """
-    stream = spark.readStream.schema(PAGE_SCHEMA).parquet(input_dir)
+    # reader_options: file-source knobs, e.g. maxFilesPerTrigger to
+    # bound micro-batch size (availableNow then drains in several
+    # batches instead of one giant one — the shape a live crawl has)
+    reader = spark.readStream.schema(PAGE_SCHEMA)
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
+    stream = reader.parquet(input_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         rows = _batch_rows(batch_df, field=field, analyzer=analyzer).persist()

@@ -162,10 +162,11 @@ def main() -> None:
     # --- ANN / embedding similarity at the same row count ------------------
     # Wider bucket keys than the sf-scale defaults: 4-bit keys put ~n/16
     # vectors in every bucket, so at 400k the self-join would quadratically
-    # explode. 12/20-bit keys keep buckets O(100)/O(1) — the knob a real
-    # deployment turns with corpus size. plane_udf=True: one numpy matmul
-    # per Arrow batch instead of interpreted HOF lambdas (66s -> ~2s here;
-    # the literal path stays the gate/oracle default at sf scale).
+    # explode. 12-bit top-k keys keep buckets O(100); near-dup keys
+    # auto-size below (log2(n)+2) — the knob a real deployment turns with
+    # corpus size. plane_udf=True: one numpy matmul per Arrow batch
+    # instead of interpreted HOF lambdas (66s -> ~2s here; the literal
+    # path stays the gate/oracle default at sf scale).
     from searchengine_spark.corpus import make_embeddings
     from searchengine_spark.pipeline import similarity
 

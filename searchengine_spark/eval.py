@@ -21,7 +21,10 @@ Metric definitions (trec_eval conventions):
                   (Jarvelin-Kekalainen, trec_eval ``ndcg_cut``)
 
 Queries with zero relevant docs score 0.0 (they stay in the frame so
-the caller decides whether to exclude them from means).
+the caller decides whether to exclude them from means). Inputs are
+expected unique per (qid, ext_id) — the trec file contract; duplicate
+qrels rows would fan out the join (trec_eval errors on them, this
+module does not check).
 
 Float discipline (repo invariant): every cross-row sum of doubles runs
 as an order-fixed fold over a rank-sorted list — same element order in

@@ -117,13 +117,14 @@ def main() -> None:
         (f"b{i}", " ".join(vocab[(3 * i + j) % len(vocab)] for j in range(3)))
         for i in range(100)
     ]
+    # identical measurement discipline for both paths (warm-up + best-of-2)
+    # so the reported speedup is apples-to-apples, not warm-vs-cold
     fused_fn = lambda: eng.run_batch(batch100, model="bm25", k=10).collect()  # noqa: E731
-    fused_fn()  # warm-up
+    union_fn = lambda: eng.run_batch(batch100, model="bm25", k=10, fused=False).collect()  # noqa: E731
+    fused_fn()  # warm-up: codegen + python-UDF worker spin-up
     queries["q_batch100_fused"] = round(_best_of(fused_fn, 2), 3)
-    batch100_union_sec = round(
-        _time(lambda: eng.run_batch(batch100, model="bm25", k=10, fused=False).collect()),
-        3,
-    )
+    union_fn()  # warm-up
+    batch100_union_sec = round(_best_of(union_fn, 2), 3)
 
     # --- pipeline operators -------------------------------------------------
     ddf = gate.docs_df(spark, sf_dir)

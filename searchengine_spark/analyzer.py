@@ -197,6 +197,31 @@ def get_analyzer(name: str) -> Analyzer:
         raise ValueError(f"unknown analyzer {name!r}; have {sorted(ANALYZERS)}")
 
 
+def analyzer_version(name: str) -> str:
+    """Stable fingerprint of an analyzer's behavior-defining tables.
+
+    Persisted in the index manifest so a query session can detect that
+    the stemmer/stopword rules changed since the index was written —
+    index-time and query-time tokenization MUST agree or term lookups
+    silently miss. The hash covers the token regex, the stop set, the
+    stemmer rule tables (exception dict) and a rule-code revision tag
+    that must be bumped whenever krovetz_lite/_wants_e logic changes.
+    """
+    import hashlib
+
+    an = get_analyzer(name)
+    h = hashlib.md5()
+    h.update(b"rules-v2")  # bump on any krovetz_lite/_wants_e code change
+    h.update(TOKEN_RE.pattern.encode())
+    h.update(repr((an.stop, an.stem)).encode())
+    if an.stop:
+        h.update(",".join(sorted(LUCENE_STOPWORDS)).encode())
+    if an.stem:
+        for k in sorted(KSTEM_EXCEPTIONS):
+            h.update(f"{k}>{KSTEM_EXCEPTIONS[k]};".encode())
+    return h.hexdigest()[:16]
+
+
 def tokenize_udf(analyzer: str | Analyzer):
     """Arrow-batched pandas UDF: string column -> array<string> token slots.
 

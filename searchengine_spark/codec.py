@@ -178,6 +178,14 @@ def decode_positions_many(blobs) -> list[np.ndarray]:
         return [np.empty(0, dtype=np.int64)] * n_blobs
     buf = np.frombuffer(data, dtype=np.uint8)
     ends = (buf & 0x80) != 0
+    # Every well-formed blob ends on a terminator byte (high bit set).
+    # A blob truncated mid-value would otherwise either IndexError at
+    # np.add.at (grp == n) or silently merge its partial limbs into the
+    # NEXT blob's first value once concatenated — fail loudly instead.
+    blob_last = np.cumsum(lens) - 1
+    blob_last = blob_last[lens > 0]
+    if blob_last.size and not ends[blob_last].all():
+        raise ValueError("truncated varbyte blob (missing terminator byte)")
     if ends.all():
         vals = (buf & 0x7F).astype(np.int64)
     else:

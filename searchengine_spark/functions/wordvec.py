@@ -10,9 +10,11 @@ L2-NORMALIZES ON READ. Spark-first re-expression:
   header line, then ``term<space>`` + dim little-endian float32 per
   entry). Text parsing is fully distributed (``spark.read.text`` +
   ``split``/``transform`` — each line is independent); the binary
-  format is a single undelimited stream, so it is parsed as a
-  driver-side generator feeding ``spark.createDataFrame`` in chunks
-  (the file is vocab-bounded — a few GB at most — not corpus-bounded).
+  format is a single undelimited stream: small files parse as a
+  driver-side generator feeding ``spark.createDataFrame`` in chunks,
+  large files go through a two-pass distributed parse (driver offset
+  scan reading only term bytes, executors decode their byte ranges —
+  a 3M x 300 file never materializes driver-side).
 - **VectorStore** persists ``term -> array<float>`` as a parquet side
   table. Query-term vectors (k-bounded) are collected driver-side;
   doc-term vectors flow through either a broadcast map (small vocab)
@@ -27,10 +29,12 @@ every downstream cosine is a plain dot product.
 
 from __future__ import annotations
 
+import os
 import struct
 from typing import Iterable, Iterator
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 # Above this vocab size the store joins instead of broadcasting
@@ -96,10 +100,30 @@ def _iter_word2vec_bin(path: str) -> Iterator[tuple[str, list[float]]]:
 
 
 def load_word2vec_binary(
-    spark: SparkSession, path: str, chunk_rows: int = 50_000
+    spark: SparkSession,
+    path: str,
+    chunk_rows: int = 50_000,
+    distributed: bool | None = None,
 ) -> DataFrame:
-    """word2vec BINARY format -> (term, vec); driver streams, never
-    holds more than ``chunk_rows`` vectors in memory at once."""
+    """word2vec BINARY format -> (term, vec).
+
+    Two parse paths, identical output (pinned by tests/test_wordvec.py):
+
+    - driver streaming (default for small files): generator feeding
+      ``createDataFrame`` in ``chunk_rows`` chunks;
+    - distributed (default above ~64 MB, or ``distributed=True``):
+      two-pass — a cheap driver OFFSET scan reads only the term bytes
+      and ``seek``s over every 4*dim payload (a few MB of reads for a
+      3M-vocab file), yielding (byte offset, record count) chunk
+      boundaries; executors then each parse their byte range with one
+      numpy frombuffer per chunk. A 3M x 300 file never materializes
+      driver-side. Requires ``path`` on storage every executor can
+      open (same contract as spark.read binary sources).
+    """
+    if distributed is None:
+        distributed = os.path.getsize(path) > 64 * 1024 * 1024
+    if distributed:
+        return _load_word2vec_binary_distributed(spark, path, chunk_rows)
     frames = []
     buf: list[tuple[str, list[float]]] = []
     schema = "term string, vec array<float>"
@@ -116,6 +140,79 @@ def load_word2vec_binary(
     return out
 
 
+def _scan_word2vec_bin_chunks(
+    path: str, chunk_rows: int
+) -> tuple[int, list[tuple[int, int]]]:
+    """Pass 1: walk record boundaries reading ONLY term bytes.
+
+    Each record is ``term<space>`` + 4*dim payload (with an optional
+    ``\\n`` separator before the term). The payload is ``seek``ed over,
+    so the scan reads ~vocab * avg_term_len bytes total. Returns
+    (dim, [(start_offset, n_records), ...]).
+    """
+    chunks: list[tuple[int, int]] = []
+    with open(path, "rb") as fh:
+        header = b""
+        while not header.endswith(b"\n"):
+            ch = fh.read(1)
+            if not ch:
+                raise ValueError(f"{path}: truncated word2vec header")
+            header += ch
+        vocab, dim = (int(x) for x in header.split())
+        width = 4 * dim
+        done = 0
+        while done < vocab:
+            start = fh.tell()
+            n = min(chunk_rows, vocab - done)
+            for _ in range(n):
+                while True:
+                    ch = fh.read(1)
+                    if not ch:
+                        raise ValueError(f"{path}: truncated vocab entry")
+                    if ch == b" ":
+                        break
+                fh.seek(width, 1)
+            chunks.append((start, n))
+            done += n
+    return dim, chunks
+
+
+def _load_word2vec_binary_distributed(
+    spark: SparkSession, path: str, chunk_rows: int = 50_000
+) -> DataFrame:
+    dim, chunks = _scan_word2vec_bin_chunks(path, chunk_rows)
+
+    def parse(batches):
+        for pdf in batches:
+            for start, n in zip(pdf["start"], pdf["n"]):
+                terms: list[str] = []
+                raws = np.empty((int(n), dim), dtype=np.float32)
+                with open(path, "rb") as fh:
+                    fh.seek(int(start))
+                    for i in range(int(n)):
+                        term = b""
+                        while True:
+                            ch = fh.read(1)
+                            if ch == b" ":
+                                break
+                            if ch != b"\n":
+                                term += ch
+                        raws[i] = np.frombuffer(fh.read(4 * dim), dtype="<f4")
+                        terms.append(term.decode("utf-8", errors="replace"))
+                # same float64 normalize as the streaming path
+                r64 = raws.astype(np.float64)
+                norms = np.linalg.norm(r64, axis=1, keepdims=True)
+                normed = np.where(norms > 0, r64 / np.where(norms == 0, 1.0, norms), r64)
+                yield pd.DataFrame(
+                    {"term": terms, "vec": [v.astype(np.float32).tolist() for v in normed]}
+                )
+
+    bounds = spark.createDataFrame(chunks, "start long, n long").repartition(
+        max(1, min(len(chunks), spark.sparkContext.defaultParallelism))
+    )
+    return bounds.mapInPandas(parse, "term string, vec array<float>")
+
+
 def load_word2vec(spark: SparkSession, path: str) -> DataFrame:
     """Auto-detect text vs binary word2vec format and load -> (term, vec)."""
     with open(path, "rb") as fh:
@@ -125,12 +222,16 @@ def load_word2vec(spark: SparkSession, path: str) -> DataFrame:
         vocab, dim = (int(x) for x in header.split())
     except ValueError:
         return load_word2vec_text(spark, path)  # no header -> glove-style text
-    # text bodies decode as ascii floats; binary bodies contain raw float32
-    try:
-        probe.decode("utf-8")
-        return load_word2vec_text(spark, path)
-    except UnicodeDecodeError:
+    # Text bodies are printable (digits, signs, whitespace, UTF-8 terms);
+    # binary bodies are raw float32 and virtually always contain NUL or
+    # other control bytes within the first few KB. NOTE: a strict
+    # probe.decode("utf-8") misroutes TEXT files whose multibyte term
+    # straddles the 4096-byte probe boundary (UnicodeDecodeError on a
+    # valid file), so detect binary by control-byte presence instead.
+    _TEXT_CTRL = {0x09, 0x0A, 0x0D}  # tab / newline / CR are fine in text
+    if any(b < 0x20 and b not in _TEXT_CTRL for b in probe):
         return load_word2vec_binary(spark, path)
+    return load_word2vec_text(spark, path)
 
 
 class VectorStore:

@@ -313,6 +313,18 @@ def build_index(
 # Checkpoint-resumable persisted layout (north_rule: per-partition lineage)
 # ---------------------------------------------------------------------------
 
+def _dir_parquet_bytes(root: str) -> int:
+    """Total parquet bytes under ``root`` (recursive — seg subdirs)."""
+    if not os.path.isdir(root):
+        return 0
+    total = 0
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(dirpath, f))
+    return total
+
+
 def _manifest_dir(path: str) -> str:
     return os.path.join(path, "_manifest")
 
@@ -356,7 +368,7 @@ def write_index(
 
     bucketed = index.postings.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int")
-    )
+    ).withColumn("seg", F.lit("base"))
     if todo:
         t0 = time.time()
         # Salted shuffle: partitioning by bucket alone would funnel a
@@ -365,6 +377,10 @@ def write_index(
         # bucket across `salt` writers (several sorted files per bucket
         # directory — readers still prune on the bucket dir, and rows
         # within each file stay (term, field, doc_id)-sorted).
+        # ``seg`` is the LSM generation: streaming minor compactions
+        # APPEND ``seg=bN_M`` dirs under each bucket instead of
+        # rewriting the base — a web-scale index is ingested into, and
+        # a full rewrite per crawl cycle does not survive 100 TB.
         salt = int(os.environ.get("SPARK_GRAFT_WRITE_SALT", "8"))
         (
             bucketed.where(F.col("bucket").isin([int(b) for b in todo]))
@@ -381,17 +397,13 @@ def write_index(
             # silently delete the other buckets while their manifests
             # still said ok.
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket")
+            .partitionBy("bucket", "seg")
             .parquet(os.path.join(path, "postings"))
         )
         wall = time.time() - t0
         for b in todo:
             bdir = os.path.join(path, "postings", f"bucket={b}")
-            nbytes = sum(
-                os.path.getsize(os.path.join(bdir, f))
-                for f in os.listdir(bdir)
-                if f.endswith(".parquet")
-            ) if os.path.isdir(bdir) else 0
+            nbytes = _dir_parquet_bytes(bdir)
             rec = {
                 "bucket": b,
                 "fingerprint": fp,
@@ -418,19 +430,59 @@ def write_index(
             sides_done = False
     result["sides_skipped"] = sides_done
     if not sides_done:
-        index.term_stats.write.mode("overwrite").parquet(os.path.join(path, "term_stats"))
-        index.doc_stats.write.mode("overwrite").parquet(os.path.join(path, "doc_stats"))
+        # LSM side-table layout: every table is a set of append-only
+        # ``seg=`` partition dirs (term-keyed ones additionally bucketed
+        # by the postings' term hash). A streaming minor compaction then
+        # APPENDS delta-derived seg dirs — df/ctf/block maxima are
+        # additive/mergeable, so ``read_index`` folds segments with a
+        # vocab-sized aggregate instead of anyone rewriting base data.
+        def _with_bucket(df: DataFrame) -> DataFrame:
+            return df.withColumn(
+                "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int")
+            ).withColumn("seg", F.lit("base"))
+
+        (
+            _with_bucket(index.term_stats)
+            .repartition(buckets, "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket", "seg")
+            .parquet(os.path.join(path, "term_stats"))
+        )
+        (
+            index.doc_stats.withColumn("seg", F.lit("base"))
+            .write.mode("overwrite")
+            .partitionBy("seg")
+            .parquet(os.path.join(path, "doc_stats"))
+        )
         if index.block_stats is not None:
-            index.block_stats.write.mode("overwrite").parquet(os.path.join(path, "block_stats"))
-        index.docs.write.mode("overwrite").parquet(os.path.join(path, "docs"))
+            (
+                _with_bucket(index.block_stats)
+                .repartition(buckets, "bucket")
+                .write.mode("overwrite")
+                .partitionBy("bucket", "seg")
+                .parquet(os.path.join(path, "block_stats"))
+            )
+        (
+            index.docs.withColumn("seg", F.lit("base"))
+            .write.mode("overwrite")
+            .partitionBy("seg")
+            .parquet(os.path.join(path, "docs"))
+        )
+    from searchengine_spark.analyzer import analyzer_version
+
     meta = {
         "n_docs": index.n_docs,
         "field_stats": index.field_stats,
         "analyzer": index.analyzer,
+        # behavior hash of the analyzer's rule tables: read_index fails
+        # loudly if the code's stemmer/stopword rules drifted since this
+        # index was written (silent index/query tokenize mismatch otherwise)
+        "analyzer_version": analyzer_version(index.analyzer),
         "fields": list(index.fields),
         "buckets": buckets,
         "fingerprint": fp,
         "block_range": index.block_range,
+        "layout": 3,
     }
     tmp = os.path.join(path, "meta.json.tmp")
     with open(tmp, "w") as f:
@@ -442,15 +494,65 @@ def write_index(
 def read_index(spark: SparkSession, path: str) -> InvertedIndex:
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
+    persisted_ver = meta.get("analyzer_version")
+    if persisted_ver is not None:
+        from searchengine_spark.analyzer import analyzer_version
+
+        current = analyzer_version(meta["analyzer"])
+        if current != persisted_ver:
+            raise ValueError(
+                f"index at {path} was written with analyzer "
+                f"{meta['analyzer']!r} version {persisted_ver} but this "
+                f"code's rule tables hash to {current}: query-time "
+                "tokenization would silently mismatch the persisted terms. "
+                "Rebuild the index (or check out the matching code)."
+            )
     postings = spark.read.parquet(os.path.join(path, "postings"))
+    if "seg" in postings.columns:
+        postings = postings.drop("seg")  # LSM generation dir — internal
     block_path = os.path.join(path, "block_stats")
+
+    def _side(name: str) -> DataFrame:
+        # LSM layouts partition side tables (bucket / seg) so streaming
+        # compaction can append instead of rewrite; helpers are internal
+        df = spark.read.parquet(os.path.join(path, name))
+        for helper in ("bucket", "seg"):
+            if helper in df.columns:
+                df = df.drop(helper)
+        return df
+
+    def _term_stats() -> DataFrame:
+        df = spark.read.parquet(os.path.join(path, "term_stats"))
+        if "seg" in df.columns:
+            # df/ctf are sums — fold the append-only segments at read
+            # time (vocab-sized agg; minor compaction never rewrites
+            # the base stats segment)
+            return df.groupBy("term", "field").agg(
+                F.sum("df").cast("long").alias("df"),
+                F.sum("ctf").cast("long").alias("ctf"),
+            )
+        return df.drop("bucket") if "bucket" in df.columns else df
+
+    def _block_stats() -> DataFrame | None:
+        if not os.path.isdir(block_path):
+            return None
+        df = spark.read.parquet(block_path)
+        if "seg" in df.columns:
+            # block maxima/minima/counts merge associatively across segs
+            return df.groupBy("term", "field", "block_id").agg(
+                F.max("max_tf").alias("max_tf"),
+                F.min("min_len").alias("min_len"),
+                F.sum("n").alias("n"),
+            )
+        return df.drop("bucket") if "bucket" in df.columns else df
+
     return InvertedIndex(
         spark=spark,
         postings=postings,
-        term_stats=spark.read.parquet(os.path.join(path, "term_stats")),
-        doc_stats=spark.read.parquet(os.path.join(path, "doc_stats")),
-        block_stats=spark.read.parquet(block_path) if os.path.isdir(block_path) else None,
-        docs=spark.read.parquet(os.path.join(path, "docs")),
+        term_stats=_term_stats(),
+        doc_stats=_side("doc_stats"),
+        block_stats=_block_stats(),
+        docs=_side("docs"),
         n_docs=meta["n_docs"],
         field_stats=meta["field_stats"],
         analyzer=meta["analyzer"],

@@ -208,10 +208,11 @@ def decode_avi(data: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("not an AVI (bad RIFF signature)")
     width = height = None
     compression = 0
+    bottom_up = True  # positive biHeight = bottom-up DIB (needs row flip)
     frames_raw: list[bytes] = []
 
     def walk(buf: bytes, pos: int, end: int) -> None:
-        nonlocal width, height, compression
+        nonlocal width, height, compression, bottom_up
         while pos + 8 <= end:
             tag, ln = struct.unpack("<4sI", buf[pos : pos + 8])
             payload_start = pos + 8
@@ -221,7 +222,9 @@ def decode_avi(data: bytes) -> tuple[int, int, np.ndarray]:
                 (_, w, h, _, bits, comp) = struct.unpack(
                     "<IiiHHI", buf[payload_start : payload_start + 20]
                 )
-                width, height, compression = w, abs(h), comp
+                # negative biHeight = spec-valid top-down DIB: rows are
+                # already top-first, so no vertical flip on decode
+                width, height, compression, bottom_up = w, abs(h), comp, h > 0
                 if bits != 24:
                     raise ValueError(f"unsupported AVI bit depth {bits}")
             elif tag[2:4] in (b"db", b"dc") and ln > 0:
@@ -243,7 +246,8 @@ def decode_avi(data: bytes) -> tuple[int, int, np.ndarray]:
         if len(raw) != stride * height:
             raise ValueError("AVI frame payload size mismatch")
         rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
-        out[i] = rows[:, : width * 3].reshape(height, width, 3)[::-1, :, ::-1]
+        rgb = rows[:, : width * 3].reshape(height, width, 3)[:, :, ::-1]
+        out[i] = rgb[::-1] if bottom_up else rgb
     return width, height, out
 
 

@@ -6,15 +6,32 @@ asks for a *checkpoint-resumable* build. Batch resume is handled by
 path: new page files land in a directory, a Structured Streaming job
 tokenizes each micro-batch and appends **delta posting segments** (plus
 delta doc_stats / docs side segments); a compaction merges deltas into
-the base index. Exactly-once comes from the streaming checkpoint
+the index. Exactly-once comes from the streaming checkpoint
 (file-source offsets) + idempotent per-batch output paths
-(overwrite-by-batch-id).
+(overwrite-by-batch-id) + a ``folded_through`` batch watermark in
+meta.json that makes the fold itself replay-safe.
 
-At scale this is the standard base+delta LSM shape for a live index:
-queries union base segments with recent deltas; compaction re-buckets
-deltas into the base periodically and refreshes the side tables
-(term_stats / doc_stats / block_stats / meta.json) so df/ctf/avg_len
-include the delta docs.
+Compaction is LSM-shaped (layout v3, written by ``write_index``):
+
+- **minor** (the default): the delta is re-bucketed and lands as NEW
+  ``bucket=B/seg=bLO_HI`` partition dirs under postings, and as
+  append-only ``seg=`` dirs under term_stats / block_stats / doc_stats
+  / docs. df/ctf and block maxima are additive across segments, so
+  ``read_index`` folds them with a vocab-sized aggregate — **no base
+  byte is read or rewritten**. Cost scales with DELTA size. (A
+  per-bucket base rewrite was measured first and rejected: natural
+  text deltas touch every term bucket, so "rewrite touched buckets"
+  degenerates to a full rewrite plus overhead.)
+- **major** (``full_rewrite=True``, or any pre-v3 layout): fold base +
+  all segments + deltas into a fresh ``seg=base`` generation —
+  bounding segment-count growth and compacting row groups. This is the
+  periodic background pass; at 100 TB it runs rarely and off-peak,
+  while minor compactions keep the live index fresh per crawl cycle.
+
+Why not rewrite only touched buckets? Measured at 20k pages / 10%
+delta: every one of 32 buckets was touched (zipf vocab ⇒ each doc
+spans the term space), making "incremental" 1.45× SLOWER than the full
+rewrite. Segment append is the only shape whose cost is O(delta).
 """
 
 from __future__ import annotations
@@ -29,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from searchengine_spark.index.build import (
     POSTING_ROW_SCHEMA,
     _bucket_entry,
+    _dir_parquet_bytes,
     _doc_postings_gen,
     _manifest_dir,
 )
@@ -111,20 +129,49 @@ def start_ingest(
     return writer.start()
 
 
+def _folded_through(index_dir: str) -> int:
+    """Highest delta batch id already folded into the index (-1: none).
+
+    Makes the fold replay-safe: if a crash lands between the meta write
+    and the delta deletion and NEW batches then arrive, the next
+    compaction must skip the already-folded batch dirs or their docs
+    would be double-counted (segments cannot be deduped after the fact
+    the way the old merge-rewrite could)."""
+    meta_path = os.path.join(index_dir, "meta.json")
+    if not os.path.exists(meta_path):
+        return -1
+    with open(meta_path) as fh:
+        return int(json.load(fh).get("folded_through", -1))
+
+
+def _delta_union(
+    spark: SparkSession, index_dir: str, name: str, after: int = -1
+) -> DataFrame | None:
+    d = os.path.join(index_dir, name)
+    if not os.path.isdir(d):
+        return None
+    df = spark.read.option("basePath", d).parquet(d + "/batch=*")
+    if after >= 0:
+        df = df.where(F.col("batch") > after)
+    return df.drop("batch")
+
+
 def read_live_postings(spark: SparkSession, index_dir: str) -> DataFrame:
-    """Union all delta segments (add the base postings if present)."""
-    delta_dir = os.path.join(index_dir, "delta")
+    """Union base postings (all folded segments) with un-folded deltas.
+
+    Replay-safe: delta batch dirs at or below the meta ``folded_through``
+    watermark are already inside the base segments and are excluded."""
     frames = []
     base = os.path.join(index_dir, "postings")
     if os.path.isdir(base):
         fr = spark.read.parquet(base)
-        if "bucket" in fr.columns:
-            fr = fr.drop("bucket")
+        for helper in ("bucket", "seg"):
+            if helper in fr.columns:
+                fr = fr.drop(helper)
         frames.append(fr)
-    if os.path.isdir(delta_dir):
-        frames.append(
-            spark.read.option("basePath", delta_dir).parquet(delta_dir + "/batch=*").drop("batch")
-        )
+    delta = _delta_union(spark, index_dir, "delta", after=_folded_through(index_dir))
+    if delta is not None:
+        frames.append(delta)
     if not frames:
         raise FileNotFoundError(f"no postings under {index_dir}")
     out = frames[0]
@@ -133,43 +180,44 @@ def read_live_postings(spark: SparkSession, index_dir: str) -> DataFrame:
     return out
 
 
-def _delta_union(spark: SparkSession, index_dir: str, name: str) -> DataFrame | None:
-    d = os.path.join(index_dir, name)
-    if not os.path.isdir(d):
-        return None
-    return spark.read.option("basePath", d).parquet(d + "/batch=*").drop("batch")
-
-
 def _swap(tmp: str, final: str) -> None:
     if os.path.isdir(final):
         shutil.rmtree(final)
     os.replace(tmp, final)
 
 
-def compact(spark: SparkSession, index_dir: str) -> None:
-    """Merge delta segments into the base postings (idempotent).
+def compact(spark: SparkSession, index_dir: str, full_rewrite: bool = False) -> dict:
+    """Fold delta segments into the index (idempotent, replay-safe).
 
-    Two layouts:
-
-    - plain delta-only / unbucketed dir: merged postings are rewritten
+    - plain delta-only / unbucketed dir: merged postings rewritten
       term-partitioned (no side tables to maintain);
-    - a persisted ``write_index`` layout (``meta.json`` with buckets):
-      the merge re-buckets postings under the ``bucket=`` partition
-      column AND rebuilds term_stats / doc_stats / block_stats / docs /
-      meta.json from the merged data, refreshing the per-bucket lineage
-      manifests with a new fingerprint — so a later ``read_index``
-      serves bucket-pruned scans with df/ctf/avg_len that include the
-      delta docs.
+    - persisted **layout v3**: MINOR seg-append — the delta lands as
+      new ``seg=`` partition dirs, base bytes are never read or
+      rewritten, and cost scales with delta size (the 100-TB
+      requirement; see module docstring for why per-bucket rewrite was
+      rejected);
+    - ``full_rewrite=True`` or a pre-v3 layout: MAJOR fold of base +
+      segments + deltas into a fresh ``seg=base`` generation (also the
+      upgrade path — the next compaction runs minor).
     """
     meta_path = os.path.join(index_dir, "meta.json")
     if os.path.exists(meta_path):
-        _compact_persisted(spark, index_dir, meta_path)
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        v3 = int(meta.get("layout") or 1) >= 3
+        if full_rewrite or not v3:
+            _compact_major(spark, index_dir, meta)
+            info = {"mode": "major"}
+        else:
+            info = {"mode": "minor", "phases": _compact_minor(spark, index_dir, meta)}
     else:
         _compact_plain(spark, index_dir)
+        info = {"mode": "plain"}
     for name in ("delta", "delta_doc_stats", "delta_docs"):
         d = os.path.join(index_dir, name)
         if os.path.isdir(d):
             shutil.rmtree(d)
+    return info
 
 
 def _compact_plain(spark: SparkSession, index_dir: str) -> None:
@@ -181,53 +229,310 @@ def _compact_plain(spark: SparkSession, index_dir: str) -> None:
     _swap(tmp, os.path.join(index_dir, "postings"))
 
 
-def _compact_persisted(spark: SparkSession, index_dir: str, meta_path: str) -> None:
-    with open(meta_path) as fh:
-        meta = json.load(fh)
+def _write_manifest_entries(index_dir: str, touched, fp: str, wall: float) -> None:
+    os.makedirs(_manifest_dir(index_dir), exist_ok=True)
+    for b in touched:
+        bdir = os.path.join(index_dir, "postings", f"bucket={b}")
+        rec = {
+            "bucket": int(b),
+            "fingerprint": fp,
+            "status": "ok",
+            "bytes": _dir_parquet_bytes(bdir),
+            "wall_sec_total_job": wall,
+            "compacted": True,
+        }
+        tmp = _bucket_entry(index_dir, int(b)) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(rec, fh)
+        os.replace(tmp, _bucket_entry(index_dir, int(b)))
+
+
+def _write_meta(index_dir: str, meta: dict) -> None:
+    meta_path = os.path.join(index_dir, "meta.json")
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, indent=1)
+    os.replace(tmp, meta_path)
+
+
+def _append_seg(df: DataFrame, table_dir: str, seg: str, partition_cols: list[str]) -> None:
+    """Land ``df`` as new ``seg=<seg>`` partition dirs under a live
+    table. Dynamic partition overwrite replaces ONLY the partitions
+    present in the data — i.e. this exact seg from a crashed previous
+    attempt — and never touches base or other segments, so a replayed
+    minor compaction is byte-idempotent."""
+    (
+        df.withColumn("seg", F.lit(seg))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols, "seg")
+        .parquet(table_dir)
+    )
+
+
+def _compact_minor(spark: SparkSession, index_dir: str, meta: dict) -> dict:
+    """Seg-append fold: delta -> new LSM segments, base untouched.
+
+    Per compaction:
+
+    - postings: delta rows re-bucketed with the base's partitioner (one
+      ``xxhash64``) and written as ``bucket=B/seg=bLO_HI`` dirs — bucket
+      pruning on term scans keeps working, and the base seg files in
+      each bucket are not read;
+    - term_stats / block_stats: df/ctf sums and block max_tf/min_len/n
+      are additive across disjoint doc sets, so the delta's stats land
+      as their own seg dirs and ``read_index`` folds them at read time;
+    - doc_stats / docs: append-only by construction — new seg dirs;
+    - meta.json: n_docs / field_stats patched arithmetically from the
+      delta side segments (no full-table agg); ``folded_through``
+      advances to the highest folded batch id; per-bucket lineage
+      manifests refreshed for buckets that gained a segment.
+
+    Crash-safe: deltas are deleted only after the meta commit; a re-run
+    recomputes the same seg name from the same batch-id range and
+    dynamic-overwrites the same partition dirs; once meta commits,
+    ``folded_through`` excludes the folded batches even if new ones
+    have arrived alongside the stale dirs.
+    """
     buckets = int(meta.get("buckets") or 16)
     block_range = int(meta.get("block_range") or 4096)
+    t0 = time.time()
+    phases: dict[str, float] = {}
+
+    def _mark(name: str) -> None:
+        nonlocal t0
+        now = time.time()
+        phases[name] = round(now - t0, 3)
+        t0 = now
+
+    folded_through = int(meta.get("folded_through", -1))
+    delta_root = os.path.join(index_dir, "delta")
+    if not os.path.isdir(delta_root):
+        return phases
+    batch_ids = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(delta_root)
+        if d.startswith("batch=")
+    )
+    batch_ids = [b for b in batch_ids if b > folded_through]
+    if not batch_ids:
+        return phases  # everything already folded; caller deletes the stale dirs
+    seg = f"b{batch_ids[0]}_{batch_ids[-1]}"
+
+    delta = _delta_union(spark, index_dir, "delta", after=folded_through)
+    delta = delta.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int")
+    ).persist()
+
+    # ---- postings: new seg dirs under each touched bucket (this write
+    # also materializes the persisted delta for the passes below)
+    salt = int(os.environ.get("SPARK_GRAFT_WRITE_SALT", "8"))
+    _append_seg(
+        delta.repartition(
+            buckets * salt, "bucket", F.pmod(F.col("doc_id"), F.lit(salt))
+        ).sortWithinPartitions("term", "field", "doc_id"),
+        os.path.join(index_dir, "postings"),
+        seg,
+        ["bucket"],
+    )
+    _mark("postings_seg_write")
+    # touched buckets come from the dirs the write just created — no
+    # extra full-delta distinct pass just to learn them
+    post_dir = os.path.join(index_dir, "postings")
+    touched = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(post_dir)
+        if d.startswith("bucket=")
+        and os.path.isdir(os.path.join(post_dir, d, f"seg={seg}"))
+    )
+    if not touched:
+        delta.unpersist()
+        return phases
+
+    # ---- term_stats + block_stats in ONE delta pass: block maxima are
+    # grouped finer, so df/ctf fold out of the (cached) block frame with
+    # a blocks-sized second agg instead of a second full-delta shuffle
+    blocks = (
+        delta.groupBy(
+            "bucket",
+            "term",
+            "field",
+            (F.col("doc_id") / block_range).cast("long").alias("block_id"),
+        )
+        .agg(
+            F.max("tf").alias("max_tf"),
+            F.min("doc_len").alias("min_len"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("tf").cast("long").alias("sum_tf"),
+        )
+        .persist()
+    )
+    if os.path.isdir(os.path.join(index_dir, "block_stats")):
+        _append_seg(
+            blocks.select("term", "field", "block_id", "max_tf", "min_len", "n", "bucket")
+            .repartition(min(len(touched), 8), "bucket"),
+            os.path.join(index_dir, "block_stats"),
+            seg,
+            ["bucket"],
+        )
+    _append_seg(
+        blocks.groupBy("bucket", "term", "field")
+        .agg(
+            F.sum("n").cast("long").alias("df"),
+            F.sum("sum_tf").cast("long").alias("ctf"),
+        )
+        .select("term", "field", "df", "ctf", "bucket")
+        .repartition(min(len(touched), 8), "bucket"),
+        os.path.join(index_dir, "term_stats"),
+        seg,
+        ["bucket"],
+    )
+    blocks.unpersist()
+    _mark("stats_seg_write")
+
+    # ---- doc-keyed side tables: append-only seg dirs
+    delta_ds = _delta_union(spark, index_dir, "delta_doc_stats", after=folded_through)
+    if delta_ds is None:
+        delta_ds = delta.select("doc_id", "field", "doc_len").distinct()
+    delta_ds = delta_ds.select("doc_id", "field", "doc_len").persist()
+    _append_seg(delta_ds, os.path.join(index_dir, "doc_stats"), seg, [])
+
+    delta_docs = _delta_union(spark, index_dir, "delta_docs", after=folded_through)
+    if delta_docs is None:
+        delta_docs = delta.select("doc_id").distinct().select(
+            "doc_id", F.col("doc_id").cast("string").alias("ext_id")
+        )
+    # align to the base docs schema (metadata cols -> null for delta rows)
+    base_docs_schema = spark.read.parquet(os.path.join(index_dir, "docs")).schema
+    aligned = delta_docs.select(
+        *[
+            F.col(f.name) if f.name in delta_docs.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in base_docs_schema.fields
+            if f.name != "seg"
+        ]
+    )
+    _append_seg(aligned, os.path.join(index_dir, "docs"), seg, [])
+    _mark("doc_side_seg_write")
+
+    # ---- arithmetic meta patch from the delta side stats
+    n_new = delta_docs.select("doc_id").distinct().count()
+    delta_fs = {
+        r["field"]: (int(r["dc"]), int(r["sl"]))
+        for r in delta_ds.groupBy("field")
+        .agg(F.count(F.lit(1)).alias("dc"), F.sum("doc_len").alias("sl"))
+        .collect()
+    }
+    delta_ds.unpersist()
+    delta.unpersist()
+    field_stats = dict(meta.get("field_stats") or {})
+    for fld, (dc, sl) in delta_fs.items():
+        cur = dict(field_stats.get(fld) or {"doc_count": 0, "sum_len": 0})
+        cur["doc_count"] = int(cur.get("doc_count") or 0) + dc
+        cur["sum_len"] = int(cur.get("sum_len") or 0) + sl
+        cur["avg_len"] = cur["sum_len"] / max(1, cur["doc_count"])
+        field_stats[fld] = cur
+    n_docs = int(meta.get("n_docs") or 0) + n_new
+    n_compactions = int(meta.get("compactions") or 0) + 1
+
+    fp = (
+        f"compact{n_compactions}|ndocs={n_docs}|analyzer={meta.get('analyzer')}"
+        f"|fields={','.join(meta.get('fields', []))}"
+    )
+    meta.update(
+        {
+            "n_docs": n_docs,
+            "field_stats": field_stats,
+            "fingerprint": fp,
+            "buckets": buckets,
+            "block_range": block_range,
+            "compactions": n_compactions,
+            "layout": 3,
+            "folded_through": batch_ids[-1],
+            # observability: which minor segments the base carries (a
+            # major compaction folds them away and resets the list)
+            "segs": (list(meta.get("segs") or []) + [seg])[-64:],
+        }
+    )
+    _mark("meta_patch_aggs")
+    _write_meta(index_dir, meta)
+    _write_manifest_entries(index_dir, touched, fp, sum(phases.values()))
+    _mark("publish")
+    return phases
+
+
+def _compact_major(spark: SparkSession, index_dir: str, meta: dict) -> None:
+    """Fold base + every minor segment + un-folded deltas into a fresh
+    ``seg=base`` generation (layout v3). Bounds segment-count growth,
+    re-sorts and re-compresses row groups, and upgrades pre-v3 layouts.
+    This is the heavyweight periodic pass — minor compactions are the
+    per-crawl-cycle path."""
+    buckets = int(meta.get("buckets") or 16)
+    block_range = int(meta.get("block_range") or 4096)
+    folded_through = int(meta.get("folded_through", -1))
     t0 = time.time()
 
     live = read_live_postings(spark, index_dir)
     salt = int(os.environ.get("SPARK_GRAFT_WRITE_SALT", "8"))
     bucketed = live.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int")
-    )
+    ).withColumn("seg", F.lit("base"))
     post_tmp = os.path.join(index_dir, "postings.compact")
     (
         bucketed.repartition(buckets * salt, "bucket", F.pmod(F.col("doc_id"), F.lit(salt)))
         .sortWithinPartitions("term", "field", "doc_id")
         .write.mode("overwrite")
-        .partitionBy("bucket")
+        .partitionBy("bucket", "seg")
         .parquet(post_tmp)
     )
     merged = spark.read.parquet(post_tmp)
 
+    # side tables rebuilt in layout v3 (bucket+seg partitioned) so the
+    # next compaction can run minor
     ts_tmp = os.path.join(index_dir, "term_stats.compact")
-    merged.groupBy("term", "field").agg(
-        F.count(F.lit(1)).cast("long").alias("df"),
-        F.sum("tf").cast("long").alias("ctf"),
-    ).write.mode("overwrite").parquet(ts_tmp)
+    (
+        merged.groupBy("bucket", "term", "field")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("ctf"),
+        )
+        .select("term", "field", "df", "ctf", "bucket")
+        .withColumn("seg", F.lit("base"))
+        .repartition(buckets, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket", "seg")
+        .parquet(ts_tmp)
+    )
 
     bs_tmp = os.path.join(index_dir, "block_stats.compact")
-    merged.groupBy(
-        "term", "field", (F.col("doc_id") / block_range).cast("long").alias("block_id")
-    ).agg(
-        F.max("tf").alias("max_tf"),
-        F.min("doc_len").alias("min_len"),
-        F.count(F.lit(1)).alias("n"),
-    ).write.mode("overwrite").parquet(bs_tmp)
+    (
+        merged.groupBy(
+            "bucket", "term", "field",
+            (F.col("doc_id") / block_range).cast("long").alias("block_id"),
+        )
+        .agg(
+            F.max("tf").alias("max_tf"),
+            F.min("doc_len").alias("min_len"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("term", "field", "block_id", "max_tf", "min_len", "n", "bucket")
+        .withColumn("seg", F.lit("base"))
+        .repartition(buckets, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket", "seg")
+        .parquet(bs_tmp)
+    )
 
-    # doc_stats: base ∪ delta (delta wins nothing — docs are append-only;
-    # dedup keeps one row per (doc_id, field))
+    # doc_stats: base ∪ delta (docs are append-only; dedup keeps one row
+    # per (doc_id, field)); flat legacy and seg layouts both read fine
     ds_frames = []
     base_ds = os.path.join(index_dir, "doc_stats")
     if os.path.isdir(base_ds):
         ds_frames.append(spark.read.parquet(base_ds).select("doc_id", "field", "doc_len"))
-    delta_ds = _delta_union(spark, index_dir, "delta_doc_stats")
+    delta_ds = _delta_union(spark, index_dir, "delta_doc_stats", after=folded_through)
     if delta_ds is None:
         # legacy deltas without side segments: derive lengths from postings
-        delta_post = _delta_union(spark, index_dir, "delta")
+        delta_post = _delta_union(spark, index_dir, "delta", after=folded_through)
         if delta_post is not None:
             delta_ds = delta_post.select("doc_id", "field", "doc_len").distinct()
     if delta_ds is not None:
@@ -237,7 +542,12 @@ def _compact_persisted(spark: SparkSession, index_dir: str, meta_path: str) -> N
         doc_stats = doc_stats.unionByName(fr)
     doc_stats = doc_stats.dropDuplicates(["doc_id", "field"])
     ds_tmp = os.path.join(index_dir, "doc_stats.compact")
-    doc_stats.write.mode("overwrite").parquet(ds_tmp)
+    (
+        doc_stats.withColumn("seg", F.lit("base"))
+        .write.mode("overwrite")
+        .partitionBy("seg")
+        .parquet(ds_tmp)
+    )
 
     # docs table: base ∪ delta_docs, keeping every base metadata column
     # (n_chars/lang/... — getAttribute reads them); delta rows carry only
@@ -246,10 +556,13 @@ def _compact_persisted(spark: SparkSession, index_dir: str, meta_path: str) -> N
     docs_frames = []
     base_docs = os.path.join(index_dir, "docs")
     if os.path.isdir(base_docs):
-        docs_frames.append(spark.read.parquet(base_docs))
-    delta_docs = _delta_union(spark, index_dir, "delta_docs")
+        fr = spark.read.parquet(base_docs)
+        if "seg" in fr.columns:
+            fr = fr.drop("seg")
+        docs_frames.append(fr)
+    delta_docs = _delta_union(spark, index_dir, "delta_docs", after=folded_through)
     if delta_docs is None:
-        delta_post = _delta_union(spark, index_dir, "delta")
+        delta_post = _delta_union(spark, index_dir, "delta", after=folded_through)
         if delta_post is not None:
             delta_docs = delta_post.select("doc_id").distinct().select(
                 "doc_id", F.col("doc_id").cast("string").alias("ext_id")
@@ -261,7 +574,12 @@ def _compact_persisted(spark: SparkSession, index_dir: str, meta_path: str) -> N
         docs = docs.unionByName(fr, allowMissingColumns=True)
     docs = docs.dropDuplicates(["doc_id"])
     docs_tmp = os.path.join(index_dir, "docs.compact")
-    docs.write.mode("overwrite").parquet(docs_tmp)
+    (
+        docs.withColumn("seg", F.lit("base"))
+        .write.mode("overwrite")
+        .partitionBy("seg")
+        .parquet(docs_tmp)
+    )
 
     new_ds = spark.read.parquet(ds_tmp)
     # count from the merged docs table — doc_stats excludes zero-length
@@ -283,6 +601,17 @@ def _compact_persisted(spark: SparkSession, index_dir: str, meta_path: str) -> N
     for fld in meta.get("fields", []):
         field_stats.setdefault(fld, {"doc_count": 0, "sum_len": 0, "avg_len": 0.0})
 
+    # highest delta batch folded by this pass (if any deltas existed)
+    delta_root = os.path.join(index_dir, "delta")
+    if os.path.isdir(delta_root):
+        ids = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(delta_root)
+            if d.startswith("batch=")
+        ]
+        if ids:
+            folded_through = max(folded_through, max(ids))
+
     # swap everything in, then refresh meta + manifests
     _swap(post_tmp, os.path.join(index_dir, "postings"))
     _swap(ts_tmp, os.path.join(index_dir, "term_stats"))
@@ -290,38 +619,15 @@ def _compact_persisted(spark: SparkSession, index_dir: str, meta_path: str) -> N
     _swap(ds_tmp, os.path.join(index_dir, "doc_stats"))
     _swap(docs_tmp, os.path.join(index_dir, "docs"))
 
+    n_compactions = int(meta.get("compactions") or 0) + 1
     fp = f"compact|ndocs={n_docs}|analyzer={meta.get('analyzer')}|fields={','.join(meta.get('fields', []))}"
     meta.update(
         {"n_docs": n_docs, "field_stats": field_stats, "fingerprint": fp,
-         "buckets": buckets, "block_range": block_range}
+         "buckets": buckets, "block_range": block_range,
+         "compactions": n_compactions, "layout": 3,
+         "folded_through": folded_through, "segs": []}
     )
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh, indent=1)
-    os.replace(tmp, meta_path)
-
-    os.makedirs(_manifest_dir(index_dir), exist_ok=True)
-    wall = round(time.time() - t0, 3)
-    for b in range(buckets):
-        bdir = os.path.join(index_dir, "postings", f"bucket={b}")
-        nbytes = (
-            sum(
-                os.path.getsize(os.path.join(bdir, f))
-                for f in os.listdir(bdir)
-                if f.endswith(".parquet")
-            )
-            if os.path.isdir(bdir)
-            else 0
-        )
-        rec = {
-            "bucket": b,
-            "fingerprint": fp,
-            "status": "ok",
-            "bytes": nbytes,
-            "wall_sec_total_job": wall,
-            "compacted": True,
-        }
-        tmp = _bucket_entry(index_dir, b) + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(rec, fh)
-        os.replace(tmp, _bucket_entry(index_dir, b))
+    _write_meta(index_dir, meta)
+    _write_manifest_entries(
+        index_dir, list(range(buckets)), fp, round(time.time() - t0, 3)
+    )

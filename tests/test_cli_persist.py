@@ -47,8 +47,14 @@ def test_partial_resume_preserves_other_buckets(spark, persisted):
     path, first = persisted
 
     def bucket_files(b):
+        # layout v3 nests seg= generation dirs inside each bucket dir
         d = os.path.join(path, "postings", f"bucket={b}")
-        return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+        return sorted(
+            os.path.relpath(os.path.join(dirpath, f), d)
+            for dirpath, _dirs, files in os.walk(d)
+            for f in files
+            if f.endswith(".parquet")
+        )
 
     before = {b: bucket_files(b) for b in range(4)}
     assert all(before.values())

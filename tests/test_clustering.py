@@ -42,6 +42,21 @@ def test_components_match_union_find(spark, pairs):
     assert got == expected
 
 
+def test_long_chain_converges_within_log_rounds(spark):
+    """A 1k-long path graph (the boilerplate-chain near-dup shape) must
+    fully converge — pure min-propagation needs 1000 rounds and silently
+    hit max_iter=20; pointer doubling does it in ~log2(1000)+1 rounds
+    (verdict r3 #4)."""
+    n = 1000
+    pairs = [(i, i + 1) for i in range(n)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        int(r["id"]): int(r["component"])
+        for r in dedup.connected_components(df, max_iter=15).collect()
+    }
+    assert got == {i: 0 for i in range(n + 1)}
+
+
 def test_near_dup_clusters_end_to_end(spark):
     ddf = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     rows = dedup.near_dup_clusters(ddf, threshold=0.8).collect()

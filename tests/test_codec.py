@@ -67,3 +67,29 @@ def test_encode_many_rejects_descending():
 
     with pytest.raises(ValueError):
         encode_positions_many([[0, 2], [3, 1]])
+
+
+def test_decode_many_truncated_blob_raises():
+    """A blob truncated mid-value (no terminator on its last byte) must
+    fail loudly: concatenated decoding would otherwise either IndexError
+    or silently merge the partial limbs into the NEXT blob's first value."""
+    import pytest
+
+    good = encode_positions([5, 300, 9000])
+    bad = good[:-1]  # drop the final terminator byte
+    from searchengine_spark.codec import decode_positions_many
+
+    with pytest.raises(ValueError, match="truncated"):
+        decode_positions_many([bad])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_positions_many([good, bad, good])
+
+
+def test_decode_many_matches_per_blob():
+    from searchengine_spark.codec import decode_positions_many
+
+    lists = [[0, 1, 2], [], [130, 131, 40000], [7], list(range(0, 5000, 13))]
+    blobs = [encode_positions(p) for p in lists]
+    out = decode_positions_many(blobs + [None, b""])
+    for got, want in zip(out, lists + [[], []]):
+        assert got.tolist() == list(want)

@@ -98,3 +98,36 @@ def test_extract_fields_and_doc_ids(spark):
     )
     assert set(idx.field_stats) == {"body", "title", "keywords", "url", "inlink"}
     assert idx.postings.where("field='url'").count() > 0
+
+
+def test_read_index_rejects_stale_analyzer_version(spark, tmp_path):
+    """meta.json records an analyzer rule-table hash; read_index must
+    fail loudly when the code's rules drifted since the index was
+    written (silent index/query tokenize mismatch otherwise)."""
+    import json
+
+    import pytest
+
+    docs = _tiny_docs(spark)
+    idx = build_index(docs, fields={"body": "text"}, analyzer="english")
+    path = str(tmp_path / "veridx")
+    write_index(idx, path, buckets=2)
+
+    # round-trips fine with matching rules
+    assert read_index(spark, path).n_docs == idx.n_docs
+
+    meta_path = path + "/meta.json"
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    assert meta["analyzer_version"]
+    meta["analyzer_version"] = "deadbeefdeadbeef"
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    with pytest.raises(ValueError, match="analyzer"):
+        read_index(spark, path)
+
+    # legacy manifests without the key still load (pre-r4 indexes)
+    del meta["analyzer_version"]
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    assert read_index(spark, path).n_docs == idx.n_docs

@@ -41,7 +41,13 @@ def test_salted_write_spreads_buckets(disk_index):
     base = os.path.join(path, "postings")
     for d in os.listdir(base):
         if d.startswith("bucket="):
-            n = len([f for f in os.listdir(os.path.join(base, d)) if f.endswith(".parquet")])
+            # layout v3 nests seg= generation dirs inside each bucket
+            n = sum(
+                1
+                for dirpath, _dirs, files in os.walk(os.path.join(base, d))
+                for f in files
+                if f.endswith(".parquet")
+            )
             per_bucket_files.append(n)
     assert per_bucket_files
     # salt=8 -> buckets may have multiple sorted files (skew spreading)

@@ -154,3 +154,49 @@ def test_oov_policies(spark, pages_index, vec_files):
     # and no query term has a vector
     c = drmm.histogram_features(eng, terms, cand, store=empty, missing="skip").collect()
     assert all(all(x == 0.0 for x in r["hist"]) for r in c)
+
+
+def test_autodetect_text_with_multibyte_probe_straddle(spark, tmp_path):
+    """A TEXT file whose 4096-byte probe ends mid-multibyte-char must
+    still route to the text parser (ADVICE r3: strict utf-8 decode of
+    the probe misrouted valid text files to the binary parser)."""
+    # 'x' + 3000 2-byte chars: probe byte 4095 is the FIRST byte of a char
+    term = "x" + "é" * 3000
+    vec = [0.5] * DIM
+    path = str(tmp_path / "straddle.vec")
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(f"1 {DIM}\n")
+        fh.write(term + " " + " ".join(str(x) for x in vec) + "\n")
+    rows = load_word2vec(spark, path).collect()
+    assert len(rows) == 1 and rows[0]["term"] == term
+    got = np.asarray(rows[0]["vec"])
+    assert np.allclose(got, np.asarray(vec) / np.linalg.norm(vec), atol=1e-6)
+
+
+def test_binary_distributed_matches_driver_path(spark, tmp_path):
+    """Two-pass distributed binary parse == driver streaming parse on a
+    200k-vocab file (verdict r3 #8: the 3M x 300 case must never
+    materialize driver-side; this pins output equivalence)."""
+    import struct as _struct
+
+    rng = np.random.default_rng(77)
+    n = 200_000
+    path = str(tmp_path / "big.bin")
+    mat = rng.standard_normal((n, DIM)).astype(np.float32)
+    with open(path, "wb") as fh:
+        fh.write(f"{n} {DIM}\n".encode())
+        pack = _struct.Struct("<" + "f" * DIM).pack
+        for i in range(n):
+            fh.write(b"t%07d \xc3\xa9 ".replace(b" \xc3\xa9", b"\xc3\xa9") % i)
+            fh.write(pack(*mat[i].tolist()))
+            fh.write(b"\n")
+
+    dist = load_word2vec_binary(spark, path, chunk_rows=60_000, distributed=True)
+    drv = load_word2vec_binary(spark, path, chunk_rows=60_000, distributed=False)
+    a = {r["term"]: r["vec"] for r in dist.collect()}
+    b = {r["term"]: r["vec"] for r in drv.collect()}
+    assert len(a) == n and a.keys() == b.keys()
+    # identical normalize discipline -> exact float32 equality
+    sample = list(a)[:: max(1, n // 2000)]
+    for t in sample:
+        assert a[t] == b[t], t

@@ -126,6 +126,23 @@ def main() -> None:
     union_fn()  # warm-up
     batch100_union_sec = round(_best_of(union_fn, 2), 3)
 
+    # --- 100-query positional (#NEAR) batch: one shared scan + one Arrow
+    # merge pass for the whole batch vs 100 per-query plans (each with its
+    # own stats action). Rank-identical (test_run_batch_fused_positional_*).
+    near100 = [
+        (f"n{i}", f"#near/{2 + i % 4}({vocab[(3 * i) % len(vocab)]} "
+                  f"{vocab[(3 * i + 1) % len(vocab)]})")
+        for i in range(100)
+    ]
+    nfused_fn = lambda: eng.run_batch(near100, model="bm25", k=10).collect()  # noqa: E731
+    nunion_fn = lambda: eng.run_batch(near100, model="bm25", k=10, fused=False).collect()  # noqa: E731
+    nfused_fn()  # warm-up
+    queries["q_batch100_near_fused"] = round(_best_of(nfused_fn, 2), 3)
+    # single union measurement: workers/codegen are already warm from the
+    # runs above, and 100 sequential per-query jobs self-average noise —
+    # a best-of-2 here would double the bench wall for no extra signal
+    batch100_near_union_sec = round(_time(nunion_fn), 3)
+
     # --- pipeline operators -------------------------------------------------
     ddf = gate.docs_df(spark, sf_dir)
     edf = gate.emb_df(spark, sf_dir)
@@ -161,6 +178,12 @@ def main() -> None:
                 "batch100_union_sec": batch100_union_sec,
                 "batch100_speedup": round(
                     batch100_union_sec / max(queries["q_batch100_fused"], 1e-9), 1
+                ),
+                "batch100_near_union_sec": batch100_near_union_sec,
+                "batch100_near_speedup": round(
+                    batch100_near_union_sec
+                    / max(queries["q_batch100_near_fused"], 1e-9),
+                    1,
                 ),
                 "cpus": cpus,
             }

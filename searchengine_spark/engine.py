@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, functions as F
 from searchengine_spark.analyzer import get_analyzer
 from searchengine_spark.index.build import InvertedIndex
 from searchengine_spark.operators.topk import attach_ext_ids, topk, topk_grouped
-from searchengine_spark.plans.ast import SopNode, TermNode
+from searchengine_spark.plans.ast import IopNode, SopNode, TermNode
 from searchengine_spark.plans.compiler import Compiler
 from searchengine_spark.plans.models import make_model
 from searchengine_spark.plans.parser import QueryParser
@@ -38,6 +38,29 @@ def _flat_sum_leaves(ast) -> list[TermNode] | None:
     ):
         return [a.args[0] for a in ast.args]
     return None
+
+
+def _flat_positional(ast):
+    """The IopNode when ``ast`` is a model-wrapped SINGLE positional
+    query — ``#SUM(#SCORE(#NEAR/n(t1..tk)))`` (or the unwrapped
+    ``#SCORE`` form) with >=2 distinct same-field TermNode args — else
+    None. These fuse into one shared postings scan per batch."""
+    node = ast
+    if isinstance(node, SopNode) and node.op == "sum" and len(node.args) == 1:
+        node = node.args[0]
+    if not (isinstance(node, SopNode) and node.op == "score"):
+        return None
+    iop = node.args[0]
+    if not isinstance(iop, IopNode) or iop.op not in ("near", "window"):
+        return None
+    args = iop.args
+    if len(args) < 2 or not all(isinstance(a, TermNode) for a in args):
+        return None
+    fld = args[0].field
+    names = [a.term for a in args]
+    if any(a.field != fld for a in args) or len(set(names)) != len(names):
+        return None
+    return iop
 
 
 def _flat_op_leaves(ast):
@@ -143,12 +166,17 @@ class SearchEngine:
 
         name = getattr(m, "name", "")
         fused_items: list = []
+        pos_items: list = []
         rest: list[tuple[str, object]] = []
         if fused and name == "bm25":
             for qid, ast in parsed:
                 leaves = _flat_sum_leaves(ast)
                 if leaves is not None:
                     fused_items.append((qid, leaves))
+                    continue
+                iop = _flat_positional(ast)
+                if iop is not None:
+                    pos_items.append((qid, iop))
                 else:
                     rest.append((qid, ast))
         elif fused and name in ("indri", "rankedboolean", "unrankedboolean"):
@@ -165,12 +193,15 @@ class SearchEngine:
             rest = parsed
 
         frames = []
-        if fused_items and name == "bm25":
-            frames.append(self._fused_bm25_batch(comp, fused_items, k))
-        elif fused_items and name == "indri":
-            frames.append(self._fused_indri_batch(comp, fused_items, k))
-        elif fused_items:
-            frames.append(self._fused_bool_batch(comp, fused_items, k))
+        if fused_items:
+            if name == "bm25":
+                frames.append(self._fused_bm25_batch(comp, fused_items, k))
+            elif name == "indri":
+                frames.append(self._fused_indri_batch(comp, fused_items, k))
+            else:
+                frames.append(self._fused_bool_batch(comp, fused_items, k))
+        if pos_items:
+            frames.append(self._fused_bm25_positional_batch(comp, pos_items, k))
         for qid, ast in rest:
             frames.append(topk(comp.compile(ast), k).withColumn("qid", F.lit(qid)))
         if not frames:
@@ -262,6 +293,115 @@ class SearchEngine:
                 "aggregate(array_sort(collect_list(struct(__ti, score))), "
                 "cast(0.0 as double), (acc, x) -> acc + x.score)"
             ).alias("score")
+        )
+        return topk_grouped(scored, k).select("qid", "doc_id", "score", "rank")
+
+    def _fused_bm25_positional_batch(
+        self, comp: Compiler, items: list, k: int
+    ) -> DataFrame:
+        """One plan for a batch of BM25 ``#NEAR/n`` / ``#WINDOW/n``
+        queries (VERDICT r3 item 5).
+
+        Per field: ONE bucket-pruned term-IN postings scan is shared by
+        every query in the batch; a broadcast (qid, term, slot) table
+        fans rows out to their queries; one groupBy(qid, doc_id)
+        collects the slot-ordered position lists; ONE Arrow pass runs
+        each row's merge with that query's (kind, dist) from the
+        broadcast params join. The per-query path instead compiles Q
+        separate scan+group+merge plans and runs Q stats actions — the
+        difference between O(1) and O(Q) jobs for a 10k-query workload.
+
+        BM25 idf for a derived iop needs each query's df over the
+        merged postings (QrySopScore semantics): computed for ALL
+        queries with one groupBy("qid") action on the persisted merge,
+        then joined back as a broadcast — scores stay bit-identical to
+        the per-query plans (same merge kernels, same float op order;
+        pinned by tests/test_query_engine.py).
+        """
+        from searchengine_spark.operators.positional import fused_positional_tf_udf
+
+        spark = self.index.spark
+        m = comp.model
+        by_field: dict[str, list] = {}
+        for qid, iop in items:
+            by_field.setdefault(iop.args[0].field, []).append((qid, iop))
+
+        merged_frames = []
+        for fld, rows in by_field.items():
+            qt_rows = [
+                (qid, i, t.term)
+                for qid, iop in rows
+                for i, t in enumerate(iop.args)
+            ]
+            pr_rows = [
+                (qid, 0 if iop.op == "near" else 1, int(iop.dist), len(iop.args))
+                for qid, iop in rows
+            ]
+            qt = spark.createDataFrame(qt_rows, "qid string, __ti int, term string")
+            pr = spark.createDataFrame(
+                pr_rows, "qid string, __kind int, __dist int, __arity int"
+            )
+            terms = sorted({r[2] for r in qt_rows})
+            cond = self._terms_scan_cond(fld, terms)
+            grouped = (
+                self.index.postings.where(cond)
+                .join(F.broadcast(qt), on="term")
+                .groupBy("qid", "doc_id")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("__ti", "positions"))
+                    ).alias("__ps"),
+                    F.max("doc_len").alias("doc_len"),
+                )
+                .join(F.broadcast(pr), on="qid")
+                # NEAR/WINDOW match only docs containing EVERY arg
+                .where(F.size("__ps") == F.col("__arity"))
+            )
+            merge = fused_positional_tf_udf()
+            merged_frames.append(
+                grouped.withColumn(
+                    "__m", merge(F.col("__ps.positions"), F.col("__kind"), F.col("__dist"))
+                )
+                .select(
+                    "qid",
+                    "doc_id",
+                    "doc_len",
+                    F.col("__m").alias("tf"),
+                    F.lit(fld).alias("__fld"),
+                )
+                .where(F.col("tf") > 0)
+            )
+        merged = merged_frames[0]
+        for fr in merged_frames[1:]:
+            merged = merged.unionByName(fr)
+        merged = merged.persist()
+        if self.index._temps is not None:
+            self.index._temps.append(merged)
+
+        # one action computes every query's derived-iop df
+        n = float(self.index.n_docs)
+        dfs = {
+            r["qid"]: int(r["df"])
+            for r in merged.groupBy("qid").agg(F.count(F.lit(1)).alias("df")).collect()
+        }
+        idf_rows = []
+        for fld, rows in by_field.items():
+            avg = self.index.avg_len(fld)
+            for qid, _iop in rows:
+                df = dfs.get(qid, 0)
+                idf = (
+                    max(0.0, math.log((n - df + 0.5) / (df + 0.5))) if avg > 0 else 0.0
+                )
+                idf_rows.append((qid, idf, avg))
+        consts = spark.createDataFrame(
+            idf_rows, "qid string, __idf double, __avg double"
+        )
+        tf = F.col("tf").cast("double")
+        denom = tf + F.lit(m.k1) * (
+            F.lit(1.0 - m.b) + F.lit(m.b) * F.col("doc_len") / F.col("__avg")
+        )
+        scored = merged.join(F.broadcast(consts), on="qid").select(
+            "qid", "doc_id", (F.col("__idf") * tf / denom).alias("score")
         )
         return topk_grouped(scored, k).select("qid", "doc_id", "score", "rank")
 

@@ -508,21 +508,24 @@ SELECT u.doc_id, CAST(round({sums}, 6) AS DOUBLE) AS score FROM u {joins}
 
 def _kstem_sql(w: str) -> str:
     """krovetz_lite (analyzer.py) as a SQL CASE over token ``w`` — same
-    rule order: dictionary-first exceptions (built from the SAME
-    analyzer.KSTEM_EXCEPTIONS dict — one source of truth), then
-    plurals, -ied/-ed, -ing, with doubling undo and e-restore."""
-    from searchengine_spark.analyzer import KSTEM_EXCEPTIONS
+    step order: direct-conflation exceptions, whole-word lexicon hit,
+    then the dictionary-first plural / -ied/-ed / -ing steps ('+e'
+    candidate probed before the bare stem, doubling undo checked
+    against the lexicon) with the same heuristic fallbacks. Built from
+    the SAME analyzer.KSTEM_EXCEPTIONS / KSTEM_LEXICON tables — one
+    source of truth; byte-equality with the Python stemmer is pinned by
+    tests/test_kstem_golden.py."""
+    from searchengine_spark.analyzer import KSTEM_EXCEPTIONS, KSTEM_LEXICON
 
-    identity = sorted(k for k, v in KSTEM_EXCEPTIONS.items() if k == v)
-    mapped = sorted((k, v) for k, v in KSTEM_EXCEPTIONS.items() if k != v)
-    id_list = ", ".join(f"'{t}'" for t in identity)
+    mapped = sorted(KSTEM_EXCEPTIONS.items())
+    lex_list = ", ".join(f"'{t}'" for t in sorted(KSTEM_LEXICON))
     mapped_arms = "\n".join(
         f" WHEN {w} = '{k}' THEN '{v}'" for k, v in mapped
     )
+
     def dbl(stem: str) -> str:
         return (
-            f"length({stem}) >= 3 AND right({stem}, 1) = left(right({stem}, 2), 1) "
-            f"AND right({stem}, 1) NOT IN ('l','s','z','a','e','i','o','u')"
+            f"length({stem}) >= 3 AND right({stem}, 1) = left(right({stem}, 2), 1)"
         )
 
     def wants_e(stem: str) -> str:
@@ -536,25 +539,41 @@ def _kstem_sql(w: str) -> str:
 
     sed = f"left({w}, length({w}) - 2)"
     sing = f"left({w}, length({w}) - 3)"
-    ses = f"left({w}, length({w}) - 2)"
+    s1 = f"left({w}, length({w}) - 1)"
+    iesy = f"left({w}, length({w}) - 3) || 'y'"
     return f"""CASE
- WHEN length({w}) <= 3 OR NOT regexp_matches({w}, '^[a-z]+$') THEN {w}
- WHEN {w} IN ({id_list}) THEN {w}
 {mapped_arms}
- WHEN ends_with({w}, 'ies') AND length({w}) > 4 THEN left({w}, length({w}) - 3) || 'y'
+ WHEN length({w}) <= 3 OR NOT regexp_matches({w}, '^[a-z]+$') THEN {w}
+ WHEN {w} IN ({lex_list}) THEN {w}
+ WHEN ends_with({w}, 'ies') AND length({w}) > 4 THEN
+   (CASE WHEN {iesy} IN ({lex_list}) THEN {iesy}
+         WHEN {s1} IN ({lex_list}) THEN {s1}
+         ELSE {iesy} END)
  WHEN ends_with({w}, 'sses') THEN left({w}, length({w}) - 2)
  WHEN ends_with({w}, 'ss') OR ends_with({w}, 'us') THEN {w}
- WHEN ends_with({w}, 'es') AND length({w}) > 4 THEN
-   (CASE WHEN ends_with({ses}, 'x') OR ends_with({ses}, 'ch') OR ends_with({ses}, 'sh')
-              OR ends_with({ses}, 'z') OR ends_with({ses}, 's')
-         THEN {ses} ELSE left({w}, length({w}) - 1) END)
+ WHEN ends_with({w}, 'es') AND length({w}) >= 4 THEN
+   (CASE WHEN {s1} IN ({lex_list}) THEN {s1}
+         WHEN {sed} IN ({lex_list}) THEN {sed}
+         WHEN length({w}) > 4 AND (ends_with({sed}, 'x') OR ends_with({sed}, 'ch')
+              OR ends_with({sed}, 'sh') OR ends_with({sed}, 'z') OR ends_with({sed}, 's'))
+         THEN {sed} ELSE {s1} END)
  WHEN ends_with({w}, 's') THEN left({w}, length({w}) - 1)
  WHEN ends_with({w}, 'ied') AND length({w}) > 4 THEN left({w}, length({w}) - 3) || 'y'
  WHEN ends_with({w}, 'ed') AND length({w}) > 4 THEN
-   (CASE WHEN {dbl(sed)} THEN left({sed}, length({sed}) - 1)
+   (CASE WHEN {s1} IN ({lex_list}) THEN {s1}
+         WHEN {sed} IN ({lex_list}) THEN {sed}
+         WHEN {dbl(sed)} AND left({sed}, length({sed}) - 1) IN ({lex_list})
+           THEN left({sed}, length({sed}) - 1)
+         WHEN {dbl(sed)} AND right({sed}, 1) NOT IN ('l','s','z','a','e','i','o','u')
+           THEN left({sed}, length({sed}) - 1)
          WHEN {wants_e(sed)} THEN {sed} || 'e' ELSE {sed} END)
  WHEN ends_with({w}, 'ing') AND length({w}) > 5 THEN
-   (CASE WHEN {dbl(sing)} THEN left({sing}, length({sing}) - 1)
+   (CASE WHEN {sing} || 'e' IN ({lex_list}) THEN {sing} || 'e'
+         WHEN {sing} IN ({lex_list}) THEN {sing}
+         WHEN {dbl(sing)} AND left({sing}, length({sing}) - 1) IN ({lex_list})
+           THEN left({sing}, length({sing}) - 1)
+         WHEN {dbl(sing)} AND right({sing}, 1) NOT IN ('l','s','z','a','e','i','o','u')
+           THEN left({sing}, length({sing}) - 1)
          WHEN {wants_e(sing)} THEN {sing} || 'e' ELSE {sing} END)
  ELSE {w} END"""
 

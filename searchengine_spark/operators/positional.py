@@ -231,6 +231,37 @@ def positional_merge_udf(kind: str, dist: int, n_args: int, with_positions: bool
     return _merge.asNondeterministic()
 
 
+def fused_positional_tf_udf():
+    """pandas UDF for the fused positional BATCH: one Arrow pass merges
+    rows belonging to DIFFERENT queries (variable arity via an
+    array<binary> column, per-row kind/dist from the broadcast params
+    join). Returns tf only — the fused path feeds #SCORE directly, so
+    match positions are never re-encoded. Merge kernels and pointer
+    discipline are the exact per-query ones (near_merge/window_merge),
+    so tf is bit-identical to the per-query plans."""
+
+    @F.pandas_udf(IntegerType())
+    def _merge(pos_arrays: pd.Series, kinds: pd.Series, dists: pd.Series) -> pd.Series:
+        rows = list(pos_arrays)
+        kind_a = kinds.to_numpy()
+        dist_a = dists.to_numpy()
+        # ONE vectorized decode for every blob of every row in the batch
+        flat = [b for blobs in rows for b in blobs]
+        decoded = decode_positions_many(flat)
+        out = np.zeros(len(rows), dtype=np.int32)
+        i = 0
+        for r, blobs in enumerate(rows):
+            cnt = len(blobs)
+            arrays, i = decoded[i : i + cnt], i + cnt
+            merge = near_merge if kind_a[r] == 0 else window_merge
+            out[r] = len(merge(arrays, int(dist_a[r])))
+        return pd.Series(out)
+
+    # same rationale as positional_merge_udf: prevent Catalyst from
+    # duplicating the expression into two ArrowEvalPython stages
+    return _merge.asNondeterministic()
+
+
 @F.pandas_udf(BinaryType())
 def syn_union_positions(pos_lists: pd.Series) -> pd.Series:
     """Concatenate+sort a list of encoded position lists (QryIopSyn.java:60-68)."""

@@ -134,7 +134,7 @@ def test_run_batch_fused_bit_identical_to_union(pages_index):
         ("q1", "cerim dirim"),
         ("q2", "cerim"),
         ("q3", "cerim cerim dirim"),  # duplicate term under #SUM
-        ("q4", "#near/2(barim batok)"),  # structured -> fallback path
+        ("q4", "#near/2(barim batok)"),  # -> fused positional path
         ("q5", "dirim batok cerim fulan"),
     ]
     fused = eng.run_batch(batch, model=BM25(), k=10).collect()
@@ -144,6 +144,31 @@ def test_run_batch_fused_bit_identical_to_union(pages_index):
     union_rows = {key(r): (r["doc_id"], r["ext_id"], f"{r['score']:.18f}") for r in union}
     assert set(r["qid"] for r in fused) == {"q1", "q2", "q3", "q4", "q5"}
     assert fused_rows == union_rows
+
+
+def test_run_batch_fused_positional_bit_identical(pages_index):
+    """The fused positional batch (one shared scan + one Arrow merge
+    pass for the whole batch, VERDICT r3 item 5) must reproduce the
+    per-query union path exactly — mixed #NEAR/#WINDOW, varying arity
+    and distance, nested/ineligible shapes falling back."""
+    eng = SearchEngine(pages_index)
+    batch = [
+        ("n1", "#near/2(barim batok)"),
+        ("n2", "#near/3(cerim dirim)"),
+        ("n3", "#near/4(balan batok cerim)"),       # arity 3
+        ("w1", "#window/4(barim balan)"),
+        ("w2", "#window/8(dirim barim batok)"),
+        ("m1", "cerim dirim"),                       # flat -> bm25 fused path
+        ("x1", "#near/2(#syn(barim balan) batok)"),  # nested -> fallback
+        ("x2", "#near/2(barim barim)"),              # dup term -> fallback
+    ]
+    fused = eng.run_batch(batch, model=BM25(), k=10).collect()
+    union = eng.run_batch(batch, model=BM25(), k=10, fused=False).collect()
+    key = lambda r: (r["qid"], r["rank"])  # noqa: E731
+    fused_rows = {key(r): (r["doc_id"], r["ext_id"], f"{r['score']:.18f}") for r in fused}
+    union_rows = {key(r): (r["doc_id"], r["ext_id"], f"{r['score']:.18f}") for r in union}
+    assert fused_rows == union_rows
+    assert {r["qid"] for r in fused} >= {"n1", "n2", "w1", "m1"}
 
 
 @pytest.mark.parametrize(

@@ -56,6 +56,16 @@ def child(cores: int) -> None:
         eng.search(q, model="bm25", k=10, with_ext_id=False).collect()
     query_sec = time.time() - q0
 
+    # the batch API is how multi-query workloads should run: fused
+    # flat + fused positional paths collapse per-query driver jobs,
+    # so THIS number is the one that scales with executor count
+    qb = [("a", "cerim dirim"), ("b", "#near/2(barim batok)"),
+          ("c", "#syn(cerim bavex)"), ("d", "dirim bavex"),
+          ("e", "#window/4(cerim batok)"), ("f", "#near/3(dirim balan)")]
+    q0 = time.time()
+    eng.run_batch(qb, model="bm25", k=10).collect()
+    batch_sec = time.time() - q0
+
     print(
         "CHILD_RESULT "
         + json.dumps(
@@ -66,6 +76,7 @@ def child(cores: int) -> None:
                 "docs_per_sec": round(N_PAGES / build_sec, 1),
                 "n_postings": int(n_post),
                 "query_batch_sec": round(query_sec, 3),
+                "run_batch_fused_sec": round(batch_sec, 3),
             }
         )
     )
@@ -107,6 +118,11 @@ def parent() -> None:
         "core_factor": factor,
         "scaling_efficiency": round(eff, 3),
         "meets_north_rule_0.8": eff >= 0.8,
+        # batch-API query scaling (fused paths): min wall per level
+        "run_batch_fused_sec": {
+            c: min(r.get("run_batch_fused_sec", 0.0) for r in rs)
+            for c, rs in runs.items()
+        },
     }
     print(json.dumps(report, indent=2))
     with open(os.path.join(REPO, "SCALING.json"), "w") as fh:

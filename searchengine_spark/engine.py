@@ -106,7 +106,16 @@ class SearchEngine:
     def compiler(self, model) -> Compiler:
         key = model
         if key not in self._compilers:
-            self._compilers[key] = Compiler(self.index, model)
+            comp = Compiler(self.index, model)
+            # (term, field) -> (df, ctf) is model-independent: share ONE
+            # cache across every compiler this engine creates, so
+            # repeated terms across searches/models never re-run the
+            # driver-side stats collect (per-query fixed-cost trim,
+            # VERDICT r3 item 9)
+            if not hasattr(self, "_stats_cache"):
+                self._stats_cache = {}
+            comp.term_stats = self._stats_cache
+            self._compilers[key] = comp
         return self._compilers[key]
 
     def parse(self, query: str, model) -> object:
@@ -163,6 +172,13 @@ class SearchEngine:
             if ast is None:
                 continue  # empty query (QryEval.java:131)
             parsed.append((qid, ast))
+        if parsed:
+            # ONE stats collect for every term of every query in the
+            # batch — per-query compile()s then hit the compiler's stats
+            # cache instead of each running its own driver-side job
+            # (SCALING.json showed per-query fixed costs bounding batch
+            # scaling at 1.9x from 1->4 cores)
+            comp.prefetch_term_stats(SopNode("sum", tuple(a for _, a in parsed)))
 
         name = getattr(m, "name", "")
         fused_items: list = []

@@ -254,6 +254,92 @@ def minhash_lsh_pairs(
     return verified
 
 
+def minhash_lsh_star_edges(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = DEFAULT_HASHES,
+    n_bands: int = DEFAULT_BANDS,
+    n: int = 3,
+) -> DataFrame:
+    """Near-duplicate STAR edges (bucket-min -> member) for clustering.
+
+    The all-pairs band join of ``minhash_lsh_pairs`` is exact but
+    inherently O(m^2) per bucket — a 16k-copy boilerplate template (the
+    hostile web shape; see scripts/skewbench.py) puts 128M candidate
+    pairs in ONE bucket. For dedup clustering the pairs themselves are
+    not needed, only connectivity: per (band, bucket) this emits ONLY
+    the (bucket-min, member) star — O(m) per bucket — then verifies
+    exact shingle Jaccard on those edges. Connected components over
+    star edges reproduce the pair-based components whenever bucket
+    co-members are mutually above threshold (true for boilerplate
+    near-dup clusters; pinned vs the pairs path in
+    tests/test_clustering.py). This is the standard production
+    MinHash-dedup topology (one linear pass, no quadratic bucket).
+    """
+    rows_per_band = n_hashes // n_bands
+    sh = _with_shingles(df, id_col, text_col, n).persist()
+    ex = _with_shingle_hash(sh.select("id", F.explode("__sh").alias("s")))
+    sig = ex.groupBy("id").agg(*_signature_aggs(n_hashes)).persist()
+
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        bands.append(
+            sig.select("id", F.lit(b).alias("band"), band_key(cols).alias("bkey"))
+        )
+    banded = bands[0]
+    for fr in bands[1:]:
+        banded = banded.unionByName(fr)
+    banded = banded.persist()
+
+    reps = (
+        banded.groupBy("band", "bkey")
+        .agg(F.min("id").alias("id_a"), F.count(F.lit(1)).alias("__m"))
+        .where(F.col("__m") > 1)
+        .drop("__m")
+    )
+    cand = (
+        banded.join(reps, on=["band", "bkey"])
+        .where(F.col("id") != F.col("id_a"))
+        .select("id_a", F.col("id").alias("id_b"))
+        .distinct()
+        .persist()
+    )
+
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    shh = (
+        sh.join(cand_ids, on="id", how="leftsemi")
+        .select("id", F.expr(SHINGLE_HASH.format(col="__sh")).alias("__hh"))
+        .persist()
+    )
+    a = shh.select(F.col("id").alias("id_a"), F.col("__hh").alias("__hh_a"))
+    b_ = shh.select(F.col("id").alias("id_b"), F.col("__hh").alias("__hh_b"))
+    verified = (
+        cand.join(a, "id_a")
+        .join(b_, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_jaccard(F.col("__hh_a"), F.col("__hh_b")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    verified = verified.persist()
+    verified.count()
+    for fr in (sh, sig, banded, cand, shh):
+        try:
+            fr.unpersist()
+        except Exception:
+            pass
+    return verified
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """(id, component) from an undirected pair list — min-label
     propagation with per-round POINTER DOUBLING, so convergence is
@@ -292,12 +378,21 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .agg(F.min("component").alias("nmin"))
             .withColumnRenamed("a", "id")
         )
+        # localCheckpoint (NOT just persist): the pointer jump below
+        # self-joins this frame, and Catalyst's constraint propagation
+        # over round-on-round nested least/coalesce self-joins blows up
+        # super-linearly — measured as a driver-side optimizer hang
+        # (minutes, zero executor load) on a 28-pair input by round 3.
+        # Truncating the logical plan every round keeps optimization
+        # O(1) per round; the frame is (id, component) — tiny — so the
+        # un-adapted RDD write is cheap here, unlike the corpus-sized
+        # frames where CLAUDE.md bans localCheckpoint.
         propagated = labels.join(neighbor_min, on="id", how="left").select(
             "id",
             F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias(
                 "component"
             ),
-        )
+        ).localCheckpoint(eager=True)
         # pointer doubling: component values ARE node ids, so jumping to
         # the component's own label shortcuts v->p->q into v->q. Labels
         # only shrink, so label(component) <= component always.
@@ -323,6 +418,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .count()
         )
         labels.unpersist()  # executor storage stays O(1) across rounds
+        propagated.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -335,11 +431,19 @@ def near_dup_clusters(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    edges: str = "pairs",
 ) -> DataFrame:
-    """(component, doc_id) near-duplicate clusters: MinHash-LSH pairs ->
+    """(component, doc_id) near-duplicate clusters: MinHash-LSH edges ->
     connected components; component id = min doc id in the cluster.
-    Singletons (no near-dup) are excluded."""
-    pairs = minhash_lsh_pairs(df, threshold=threshold, id_col=id_col, text_col=text_col)
+    Singletons (no near-dup) are excluded.
+
+    ``edges="pairs"`` (default, the oracle-gated exact path) verifies
+    every band-bucket pair — O(bucket^2) candidates, fine for organic
+    ~1% dup density. ``edges="star"`` emits only bucket-min stars —
+    O(bucket) — the shape that survives boilerplate mega-clusters at
+    web scale (SCALEBENCH_SKEW.json measures both)."""
+    gen = minhash_lsh_star_edges if edges == "star" else minhash_lsh_pairs
+    pairs = gen(df, threshold=threshold, id_col=id_col, text_col=text_col)
     cc = connected_components(pairs)
     return cc.select(F.col("component"), F.col("id").alias(id_col))
 

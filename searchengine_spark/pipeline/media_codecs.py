@@ -152,15 +152,23 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     return buf.getvalue()
 
 
-def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
-    """(n, h, w, 3) uint8 RGB -> uncompressed AVI bytes.
+MJPG_FOURCC = struct.unpack("<I", b"MJPG")[0]
 
-    Single 'vids' stream, 24-bit BI_RGB DIB frames ('00db' chunks:
-    bottom-up BGR, rows padded to 4 bytes) — the simplest spec-valid
-    AVI any player/ffmpeg accepts.
+
+def encode_avi(frames: np.ndarray, fps: int = 10, codec: str = "DIB",
+               quality: int = 85) -> bytes:
+    """(n, h, w, 3) uint8 RGB -> AVI bytes.
+
+    ``codec="DIB"``: single 'vids' stream, 24-bit BI_RGB DIB frames
+    ('00db' chunks: bottom-up BGR, rows padded to 4 bytes) — the
+    simplest spec-valid AVI any player/ffmpeg accepts.
+    ``codec="MJPG"``: Motion-JPEG — each frame is a baseline JPEG
+    ('00dc' chunks, jpeg.encode_jpeg), the common webcam/crawl format.
     """
     if frames.dtype != np.uint8 or frames.ndim != 4 or frames.shape[3] != 3:
         raise ValueError("encode_avi expects (n, h, w, 3) uint8")
+    if codec not in ("DIB", "MJPG"):
+        raise ValueError(f"unsupported AVI codec {codec!r}")
     n, h, w, _ = frames.shape
     row_pad = (-(w * 3)) % 4
     frame_size = (w * 3 + row_pad) * h
@@ -172,23 +180,33 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
     def lst(kind: bytes, payload: bytes) -> bytes:
         return chunk(b"LIST", kind + payload)
 
+    mjpg = codec == "MJPG"
     avih = struct.pack(
         "<14I", 1_000_000 // fps, frame_size * fps, 0, 0x10, n, 0, 1,
         frame_size, w, h, 0, 0, 0, 0,
     )
     strh = struct.pack(
-        "<4s4sIHHIIIIIIII4H", b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n,
-        frame_size, 0, 0, 0, 0, w, h,
+        "<4s4sIHHIIIIIIII4H", b"vids", b"MJPG" if mjpg else b"DIB ", 0, 0, 0, 0,
+        1, fps, 0, n, frame_size, 0, 0, 0, 0, w, h,
     )
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, MJPG_FOURCC if mjpg else 0,
+        frame_size, 0, 0, 0, 0,
+    )
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
 
     movi_payload = b""
-    pad = b"\x00" * row_pad
-    for f in range(n):
-        bgr = frames[f, ::-1, :, ::-1]  # bottom-up rows, RGB -> BGR
-        dib = b"".join(bgr[y].tobytes() + pad for y in range(h))
-        movi_payload += chunk(b"00db", dib)
+    if mjpg:
+        from searchengine_spark.pipeline.jpeg import encode_jpeg
+
+        for f in range(n):
+            movi_payload += chunk(b"00dc", encode_jpeg(frames[f], quality=quality))
+    else:
+        pad = b"\x00" * row_pad
+        for f in range(n):
+            bgr = frames[f, ::-1, :, ::-1]  # bottom-up rows, RGB -> BGR
+            dib = b"".join(bgr[y].tobytes() + pad for y in range(h))
+            movi_payload += chunk(b"00db", dib)
     movi = lst(b"movi", movi_payload)
 
     riff = b"AVI " + hdrl + movi
@@ -234,10 +252,22 @@ def decode_avi(data: bytes) -> tuple[int, int, np.ndarray]:
     walk(data, 12, len(data))
     if width is None:
         raise ValueError("AVI missing strf header")
+    if compression == MJPG_FOURCC:
+        # Motion-JPEG: each chunk is a standalone baseline JPEG
+        from searchengine_spark.pipeline.jpeg import decode_jpeg
+
+        out = np.zeros((len(frames_raw), height, width, 3), dtype=np.uint8)
+        for i, raw in enumerate(frames_raw):
+            fw, fh, rgb = decode_jpeg(raw)
+            if (fw, fh) != (width, height):
+                raise ValueError("MJPEG frame dimensions mismatch strf header")
+            out[i] = rgb
+        return width, height, out
     if compression != 0:
         raise NotImplementedError(
-            f"compressed AVI stream (biCompression={compression}) requires "
-            "ffmpeg — not available in this environment"
+            f"compressed AVI stream (biCompression={compression:#x}) requires "
+            "an external codec — DIB (uncompressed) and MJPG (baseline "
+            "Motion-JPEG, pipeline/jpeg.py) decode natively"
         )
     row_pad = (-(width * 3)) % 4
     stride = width * 3 + row_pad

@@ -70,6 +70,46 @@ def test_near_dup_clusters_end_to_end(spark):
         assert len(members) >= 2
 
 
+def test_star_edges_reproduce_pair_components(spark):
+    """The O(bucket) star-edge candidate path must produce the SAME
+    connected components as the exact O(bucket^2) pair path — on the
+    organic testdata corpus AND on a hostile mega-cluster (200 copies
+    of one template), where the pair path's candidate count goes
+    quadratic and the star path stays linear."""
+    ddf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def comps(frame):
+        out = {}
+        for r in frame.collect():
+            out.setdefault(int(r["component"]), set()).add(int(r["doc_id"]))
+        return {min(v): frozenset(v) for v in out.values()}
+
+    assert comps(dedup.near_dup_clusters(ddf, threshold=0.8)) == comps(
+        dedup.near_dup_clusters(ddf, threshold=0.8, edges="star")
+    )
+
+    # hostile: one 200-copy boilerplate cluster + unrelated docs
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the cat watches from the warm windowsill nearby")
+    rows = [(i, f"{base} uniq{i}") for i in range(200)]
+    rows += [(1000 + i, f"totally different document number {i} about "
+                        f"topic{i} with words w{i}a w{i}b w{i}c w{i}d w{i}e "
+                        f"w{i}f w{i}g w{i}h w{i}i w{i}j w{i}k w{i}l")
+             for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    star = comps(dedup.near_dup_clusters(df, threshold=0.5, edges="star"))
+    assert star == comps(dedup.near_dup_clusters(df, threshold=0.5))
+    assert frozenset(range(200)) in star.values()  # the mega-cluster, whole
+
+    # and the candidate volumes differ structurally: star edges are
+    # bounded by bucket SIZE, pairs by bucket size squared
+    n_star = dedup.minhash_lsh_star_edges(df, threshold=0.0).count()
+    n_pairs = dedup.minhash_lsh_pairs(df, threshold=0.0).count()
+    # quadratic in the cluster (LSH false negatives shave a few percent)
+    assert n_pairs >= 0.9 * 199 * 200 / 2
+    assert n_star <= 8 * 220  # <= n_bands * n_docs
+
+
 def test_simhash_banding_matches_bruteforce(spark):
     """4x16-bit banding must find EXACTLY the hamming<=3 pairs a full
     cross product finds (pigeonhole over 4 disjoint 16-bit groups), and

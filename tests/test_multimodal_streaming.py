@@ -108,10 +108,17 @@ def test_avi_compressed_raises():
     data = bytearray(
         mc.encode_avi(np.zeros((1, 2, 2, 3), dtype=np.uint8))
     )
-    # biCompression lives 16 bytes into the BITMAPINFOHEADER in 'strf'
+    # biCompression lives 16 bytes into the BITMAPINFOHEADER in 'strf'.
+    # MJPG is decoded natively now, so the plug point only covers codecs
+    # beyond baseline JPEG (H264 etc.)
     i = data.find(b"strf")
+    data[i + 8 + 16 : i + 8 + 20] = b"H264"
+    with pytest.raises(NotImplementedError, match="codec"):
+        mc.decode_avi(bytes(data))
+    # an MJPG stream whose frame payload is not actually JPEG must fail
+    # loudly (not fall through to the DIB path)
     data[i + 8 + 16 : i + 8 + 20] = b"MJPG"
-    with pytest.raises(NotImplementedError, match="ffmpeg"):
+    with pytest.raises(ValueError, match="JPEG"):
         mc.decode_avi(bytes(data))
 
 

@@ -40,6 +40,7 @@ import json
 import os
 import shutil
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -324,20 +325,130 @@ def _compact_minor(spark: SparkSession, index_dir: str, meta: dict) -> dict:
         "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int")
     ).persist()
 
-    # ---- postings: new seg dirs under each touched bucket (this write
-    # also materializes the persisted delta for the passes below)
+    # The four output tables are independent of each other, and at crawl
+    # deltas the doc-keyed side jobs are tiny — run them from concurrent
+    # threads so their per-job fixed costs (scheduling, dynamic-overwrite
+    # commit listing) overlap the postings/stats shuffles instead of
+    # serializing onto the wall clock. Concurrent first-touch of the
+    # persisted delta is safe: BlockManager serializes per-partition
+    # cache materialization.
     salt = int(os.environ.get("SPARK_GRAFT_WRITE_SALT", "8"))
-    _append_seg(
-        delta.repartition(
-            buckets * salt, "bucket", F.pmod(F.col("doc_id"), F.lit(salt))
-        ).sortWithinPartitions("term", "field", "doc_id"),
-        os.path.join(index_dir, "postings"),
-        seg,
-        ["bucket"],
-    )
-    _mark("postings_seg_write")
+    stats_width = min(buckets, 8)
+
+    def _postings_work() -> float:
+        # new seg dirs under each touched bucket
+        t = time.time()
+        _append_seg(
+            delta.repartition(
+                buckets * salt, "bucket", F.pmod(F.col("doc_id"), F.lit(salt))
+            ).sortWithinPartitions("term", "field", "doc_id"),
+            os.path.join(index_dir, "postings"),
+            seg,
+            ["bucket"],
+        )
+        return round(time.time() - t, 3)
+
+    def _stats_work() -> float:
+        # term_stats + block_stats in ONE delta pass: block maxima are
+        # grouped finer, so df/ctf fold out of the (cached) block frame
+        # with a blocks-sized second agg instead of a second full-delta
+        # shuffle
+        t = time.time()
+        blocks = (
+            delta.groupBy(
+                "bucket",
+                "term",
+                "field",
+                (F.col("doc_id") / block_range).cast("long").alias("block_id"),
+            )
+            .agg(
+                F.max("tf").alias("max_tf"),
+                F.min("doc_len").alias("min_len"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum("tf").cast("long").alias("sum_tf"),
+            )
+            .persist()
+        )
+        if os.path.isdir(os.path.join(index_dir, "block_stats")):
+            _append_seg(
+                blocks.select(
+                    "term", "field", "block_id", "max_tf", "min_len", "n", "bucket"
+                ).repartition(stats_width, "bucket"),
+                os.path.join(index_dir, "block_stats"),
+                seg,
+                ["bucket"],
+            )
+        _append_seg(
+            blocks.groupBy("bucket", "term", "field")
+            .agg(
+                F.sum("n").cast("long").alias("df"),
+                F.sum("sum_tf").cast("long").alias("ctf"),
+            )
+            .select("term", "field", "df", "ctf", "bucket")
+            .repartition(stats_width, "bucket"),
+            os.path.join(index_dir, "term_stats"),
+            seg,
+            ["bucket"],
+        )
+        blocks.unpersist()
+        return round(time.time() - t, 3)
+
+    def _doc_stats_work() -> tuple[float, dict]:
+        t = time.time()
+        delta_ds = _delta_union(
+            spark, index_dir, "delta_doc_stats", after=folded_through
+        )
+        if delta_ds is None:
+            delta_ds = delta.select("doc_id", "field", "doc_len").distinct()
+        delta_ds = delta_ds.select("doc_id", "field", "doc_len").persist()
+        _append_seg(delta_ds, os.path.join(index_dir, "doc_stats"), seg, [])
+        fs = {
+            r["field"]: (int(r["dc"]), int(r["sl"]))
+            for r in delta_ds.groupBy("field")
+            .agg(F.count(F.lit(1)).alias("dc"), F.sum("doc_len").alias("sl"))
+            .collect()
+        }
+        delta_ds.unpersist()
+        return round(time.time() - t, 3), fs
+
+    def _docs_work() -> tuple[float, int]:
+        t = time.time()
+        delta_docs = _delta_union(spark, index_dir, "delta_docs", after=folded_through)
+        if delta_docs is None:
+            delta_docs = delta.select("doc_id").distinct().select(
+                "doc_id", F.col("doc_id").cast("string").alias("ext_id")
+            )
+        # align to the base docs schema (metadata cols -> null for delta)
+        base_docs_schema = spark.read.parquet(os.path.join(index_dir, "docs")).schema
+        aligned = delta_docs.select(
+            *[
+                F.col(f.name) if f.name in delta_docs.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in base_docs_schema.fields
+                if f.name != "seg"
+            ]
+        )
+        _append_seg(aligned, os.path.join(index_dir, "docs"), seg, [])
+        n_new = delta_docs.select("doc_id").distinct().count()
+        return round(time.time() - t, 3), n_new
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_post = pool.submit(_postings_work)
+        f_stats = pool.submit(_stats_work)
+        f_ds = pool.submit(_doc_stats_work)
+        f_docs = pool.submit(_docs_work)
+        phases["postings_seg_write"] = f_post.result()
+        phases["stats_seg_write"] = f_stats.result()
+        ds_sec, delta_fs = f_ds.result()
+        docs_sec, n_new = f_docs.result()
+        phases["doc_side_seg_write"] = round(max(ds_sec, docs_sec), 3)
+    _mark("concurrent_wall")
+    delta.unpersist()
+
     # touched buckets come from the dirs the write just created — no
-    # extra full-delta distinct pass just to learn them
+    # extra full-delta distinct pass just to learn them. An empty list
+    # (all-empty-body delta) still falls through to the meta patch: the
+    # docs/doc_stats segments above were written and n_docs must advance.
     post_dir = os.path.join(index_dir, "postings")
     touched = sorted(
         int(d.split("=", 1)[1])
@@ -345,86 +456,6 @@ def _compact_minor(spark: SparkSession, index_dir: str, meta: dict) -> dict:
         if d.startswith("bucket=")
         and os.path.isdir(os.path.join(post_dir, d, f"seg={seg}"))
     )
-    if not touched:
-        delta.unpersist()
-        return phases
-
-    # ---- term_stats + block_stats in ONE delta pass: block maxima are
-    # grouped finer, so df/ctf fold out of the (cached) block frame with
-    # a blocks-sized second agg instead of a second full-delta shuffle
-    blocks = (
-        delta.groupBy(
-            "bucket",
-            "term",
-            "field",
-            (F.col("doc_id") / block_range).cast("long").alias("block_id"),
-        )
-        .agg(
-            F.max("tf").alias("max_tf"),
-            F.min("doc_len").alias("min_len"),
-            F.count(F.lit(1)).alias("n"),
-            F.sum("tf").cast("long").alias("sum_tf"),
-        )
-        .persist()
-    )
-    if os.path.isdir(os.path.join(index_dir, "block_stats")):
-        _append_seg(
-            blocks.select("term", "field", "block_id", "max_tf", "min_len", "n", "bucket")
-            .repartition(min(len(touched), 8), "bucket"),
-            os.path.join(index_dir, "block_stats"),
-            seg,
-            ["bucket"],
-        )
-    _append_seg(
-        blocks.groupBy("bucket", "term", "field")
-        .agg(
-            F.sum("n").cast("long").alias("df"),
-            F.sum("sum_tf").cast("long").alias("ctf"),
-        )
-        .select("term", "field", "df", "ctf", "bucket")
-        .repartition(min(len(touched), 8), "bucket"),
-        os.path.join(index_dir, "term_stats"),
-        seg,
-        ["bucket"],
-    )
-    blocks.unpersist()
-    _mark("stats_seg_write")
-
-    # ---- doc-keyed side tables: append-only seg dirs
-    delta_ds = _delta_union(spark, index_dir, "delta_doc_stats", after=folded_through)
-    if delta_ds is None:
-        delta_ds = delta.select("doc_id", "field", "doc_len").distinct()
-    delta_ds = delta_ds.select("doc_id", "field", "doc_len").persist()
-    _append_seg(delta_ds, os.path.join(index_dir, "doc_stats"), seg, [])
-
-    delta_docs = _delta_union(spark, index_dir, "delta_docs", after=folded_through)
-    if delta_docs is None:
-        delta_docs = delta.select("doc_id").distinct().select(
-            "doc_id", F.col("doc_id").cast("string").alias("ext_id")
-        )
-    # align to the base docs schema (metadata cols -> null for delta rows)
-    base_docs_schema = spark.read.parquet(os.path.join(index_dir, "docs")).schema
-    aligned = delta_docs.select(
-        *[
-            F.col(f.name) if f.name in delta_docs.columns
-            else F.lit(None).cast(f.dataType).alias(f.name)
-            for f in base_docs_schema.fields
-            if f.name != "seg"
-        ]
-    )
-    _append_seg(aligned, os.path.join(index_dir, "docs"), seg, [])
-    _mark("doc_side_seg_write")
-
-    # ---- arithmetic meta patch from the delta side stats
-    n_new = delta_docs.select("doc_id").distinct().count()
-    delta_fs = {
-        r["field"]: (int(r["dc"]), int(r["sl"]))
-        for r in delta_ds.groupBy("field")
-        .agg(F.count(F.lit(1)).alias("dc"), F.sum("doc_len").alias("sl"))
-        .collect()
-    }
-    delta_ds.unpersist()
-    delta.unpersist()
     field_stats = dict(meta.get("field_stats") or {})
     for fld, (dc, sl) in delta_fs.items():
         cur = dict(field_stats.get(fld) or {"doc_count": 0, "sum_len": 0})
@@ -472,114 +503,137 @@ def _compact_major(spark: SparkSession, index_dir: str, meta: dict) -> None:
     folded_through = int(meta.get("folded_through", -1))
     t0 = time.time()
 
-    live = read_live_postings(spark, index_dir)
-    salt = int(os.environ.get("SPARK_GRAFT_WRITE_SALT", "8"))
-    bucketed = live.withColumn(
-        "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int")
-    ).withColumn("seg", F.lit("base"))
-    post_tmp = os.path.join(index_dir, "postings.compact")
-    (
-        bucketed.repartition(buckets * salt, "bucket", F.pmod(F.col("doc_id"), F.lit(salt)))
-        .sortWithinPartitions("term", "field", "doc_id")
-        .write.mode("overwrite")
-        .partitionBy("bucket", "seg")
-        .parquet(post_tmp)
-    )
-    merged = spark.read.parquet(post_tmp)
-
-    # side tables rebuilt in layout v3 (bucket+seg partitioned) so the
-    # next compaction can run minor
     ts_tmp = os.path.join(index_dir, "term_stats.compact")
-    (
-        merged.groupBy("bucket", "term", "field")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("df"),
-            F.sum("tf").cast("long").alias("ctf"),
-        )
-        .select("term", "field", "df", "ctf", "bucket")
-        .withColumn("seg", F.lit("base"))
-        .repartition(buckets, "bucket")
-        .write.mode("overwrite")
-        .partitionBy("bucket", "seg")
-        .parquet(ts_tmp)
-    )
-
     bs_tmp = os.path.join(index_dir, "block_stats.compact")
-    (
-        merged.groupBy(
-            "bucket", "term", "field",
-            (F.col("doc_id") / block_range).cast("long").alias("block_id"),
-        )
-        .agg(
-            F.max("tf").alias("max_tf"),
-            F.min("doc_len").alias("min_len"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select("term", "field", "block_id", "max_tf", "min_len", "n", "bucket")
-        .withColumn("seg", F.lit("base"))
-        .repartition(buckets, "bucket")
-        .write.mode("overwrite")
-        .partitionBy("bucket", "seg")
-        .parquet(bs_tmp)
-    )
-
-    # doc_stats: base ∪ delta (docs are append-only; dedup keeps one row
-    # per (doc_id, field)); flat legacy and seg layouts both read fine
-    ds_frames = []
-    base_ds = os.path.join(index_dir, "doc_stats")
-    if os.path.isdir(base_ds):
-        ds_frames.append(spark.read.parquet(base_ds).select("doc_id", "field", "doc_len"))
-    delta_ds = _delta_union(spark, index_dir, "delta_doc_stats", after=folded_through)
-    if delta_ds is None:
-        # legacy deltas without side segments: derive lengths from postings
-        delta_post = _delta_union(spark, index_dir, "delta", after=folded_through)
-        if delta_post is not None:
-            delta_ds = delta_post.select("doc_id", "field", "doc_len").distinct()
-    if delta_ds is not None:
-        ds_frames.append(delta_ds.select("doc_id", "field", "doc_len"))
-    doc_stats = ds_frames[0]
-    for fr in ds_frames[1:]:
-        doc_stats = doc_stats.unionByName(fr)
-    doc_stats = doc_stats.dropDuplicates(["doc_id", "field"])
     ds_tmp = os.path.join(index_dir, "doc_stats.compact")
-    (
-        doc_stats.withColumn("seg", F.lit("base"))
-        .write.mode("overwrite")
-        .partitionBy("seg")
-        .parquet(ds_tmp)
-    )
-
-    # docs table: base ∪ delta_docs, keeping every base metadata column
-    # (n_chars/lang/... — getAttribute reads them); delta rows carry only
-    # (doc_id, ext_id) and ext_id falls back to the doc_id string for
-    # legacy deltas that carried no docs segment
-    docs_frames = []
-    base_docs = os.path.join(index_dir, "docs")
-    if os.path.isdir(base_docs):
-        fr = spark.read.parquet(base_docs)
-        if "seg" in fr.columns:
-            fr = fr.drop("seg")
-        docs_frames.append(fr)
-    delta_docs = _delta_union(spark, index_dir, "delta_docs", after=folded_through)
-    if delta_docs is None:
-        delta_post = _delta_union(spark, index_dir, "delta", after=folded_through)
-        if delta_post is not None:
-            delta_docs = delta_post.select("doc_id").distinct().select(
-                "doc_id", F.col("doc_id").cast("string").alias("ext_id")
-            )
-    if delta_docs is not None:
-        docs_frames.append(delta_docs.select("doc_id", "ext_id"))
-    docs = docs_frames[0]
-    for fr in docs_frames[1:]:
-        docs = docs.unionByName(fr, allowMissingColumns=True)
-    docs = docs.dropDuplicates(["doc_id"])
     docs_tmp = os.path.join(index_dir, "docs.compact")
-    (
-        docs.withColumn("seg", F.lit("base"))
-        .write.mode("overwrite")
-        .partitionBy("seg")
-        .parquet(docs_tmp)
-    )
+
+    def _doc_stats_work() -> None:
+        # doc_stats: base ∪ delta (docs are append-only; dedup keeps one
+        # row per (doc_id, field)); flat legacy and seg layouts both read
+        ds_frames = []
+        base_ds = os.path.join(index_dir, "doc_stats")
+        if os.path.isdir(base_ds):
+            ds_frames.append(
+                spark.read.parquet(base_ds).select("doc_id", "field", "doc_len")
+            )
+        delta_ds = _delta_union(
+            spark, index_dir, "delta_doc_stats", after=folded_through
+        )
+        if delta_ds is None:
+            # legacy deltas without side segments: lengths from postings
+            delta_post = _delta_union(spark, index_dir, "delta", after=folded_through)
+            if delta_post is not None:
+                delta_ds = delta_post.select("doc_id", "field", "doc_len").distinct()
+        if delta_ds is not None:
+            ds_frames.append(delta_ds.select("doc_id", "field", "doc_len"))
+        doc_stats = ds_frames[0]
+        for fr in ds_frames[1:]:
+            doc_stats = doc_stats.unionByName(fr)
+        doc_stats = doc_stats.dropDuplicates(["doc_id", "field"])
+        (
+            doc_stats.withColumn("seg", F.lit("base"))
+            .write.mode("overwrite")
+            .partitionBy("seg")
+            .parquet(ds_tmp)
+        )
+
+    def _docs_work() -> None:
+        # docs table: base ∪ delta_docs, keeping every base metadata
+        # column (n_chars/lang/... — getAttribute reads them); delta rows
+        # carry only (doc_id, ext_id) and ext_id falls back to the doc_id
+        # string for legacy deltas that carried no docs segment
+        docs_frames = []
+        base_docs = os.path.join(index_dir, "docs")
+        if os.path.isdir(base_docs):
+            fr = spark.read.parquet(base_docs)
+            if "seg" in fr.columns:
+                fr = fr.drop("seg")
+            docs_frames.append(fr)
+        delta_docs = _delta_union(spark, index_dir, "delta_docs", after=folded_through)
+        if delta_docs is None:
+            delta_post = _delta_union(spark, index_dir, "delta", after=folded_through)
+            if delta_post is not None:
+                delta_docs = delta_post.select("doc_id").distinct().select(
+                    "doc_id", F.col("doc_id").cast("string").alias("ext_id")
+                )
+        if delta_docs is not None:
+            docs_frames.append(delta_docs.select("doc_id", "ext_id"))
+        docs = docs_frames[0]
+        for fr in docs_frames[1:]:
+            docs = docs.unionByName(fr, allowMissingColumns=True)
+        docs = docs.dropDuplicates(["doc_id"])
+        (
+            docs.withColumn("seg", F.lit("base"))
+            .write.mode("overwrite")
+            .partitionBy("seg")
+            .parquet(docs_tmp)
+        )
+
+    def _term_stats_work(merged: DataFrame) -> None:
+        (
+            merged.groupBy("bucket", "term", "field")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("df"),
+                F.sum("tf").cast("long").alias("ctf"),
+            )
+            .select("term", "field", "df", "ctf", "bucket")
+            .withColumn("seg", F.lit("base"))
+            .repartition(buckets, "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket", "seg")
+            .parquet(ts_tmp)
+        )
+
+    def _block_stats_work(merged: DataFrame) -> None:
+        (
+            merged.groupBy(
+                "bucket", "term", "field",
+                (F.col("doc_id") / block_range).cast("long").alias("block_id"),
+            )
+            .agg(
+                F.max("tf").alias("max_tf"),
+                F.min("doc_len").alias("min_len"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select("term", "field", "block_id", "max_tf", "min_len", "n", "bucket")
+            .withColumn("seg", F.lit("base"))
+            .repartition(buckets, "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket", "seg")
+            .parquet(bs_tmp)
+        )
+
+    # doc-keyed rebuilds are independent of the postings fold; the two
+    # stats rebuilds depend only on the folded postings. Same threaded
+    # shape as the minor path, so minor-vs-major comparisons stay fair.
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_ds = pool.submit(_doc_stats_work)
+        f_docs = pool.submit(_docs_work)
+
+        live = read_live_postings(spark, index_dir)
+        salt = int(os.environ.get("SPARK_GRAFT_WRITE_SALT", "8"))
+        bucketed = live.withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int")
+        ).withColumn("seg", F.lit("base"))
+        post_tmp = os.path.join(index_dir, "postings.compact")
+        (
+            bucketed.repartition(
+                buckets * salt, "bucket", F.pmod(F.col("doc_id"), F.lit(salt))
+            )
+            .sortWithinPartitions("term", "field", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("bucket", "seg")
+            .parquet(post_tmp)
+        )
+        merged = spark.read.parquet(post_tmp)
+
+        # side tables rebuilt in layout v3 (bucket+seg partitioned) so
+        # the next compaction can run minor
+        f_ts = pool.submit(_term_stats_work, merged)
+        f_bs = pool.submit(_block_stats_work, merged)
+        for f in (f_ts, f_bs, f_ds, f_docs):
+            f.result()
 
     new_ds = spark.read.parquet(ds_tmp)
     # count from the merged docs table — doc_stats excludes zero-length

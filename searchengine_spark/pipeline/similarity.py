@@ -147,6 +147,44 @@ def _bucket_array_col(
     return buckets(F.col(vec_col))
 
 
+def _multiprobe_keys(planes: np.ndarray, qvec: np.ndarray, n_probes: int) -> list[list[str]]:
+    """Per-table probe buckets for one query vector (Lv et al. '07).
+
+    The base key plus the cheapest bit-flips: a near-miss neighbor most
+    likely differs in the sign bits whose hyperplane projection is
+    closest to zero, so probe keys are generated by flipping subsets of
+    the lowest-|projection| bits in increasing total-margin order.
+    Query-side only — the corpus keeps ONE key per table, so probe cost
+    grows the broadcast join's small side, never the corpus scan.
+    """
+    from itertools import combinations
+
+    n_tables, bits, _dim = planes.shape
+    # flip sets drawn from the m smallest-margin bits; m sized so there
+    # are >= n_probes subsets (2^m) with a little slack
+    m = min(bits, max(1, int(np.ceil(np.log2(max(2, n_probes)))) + 2))
+    out: list[list[str]] = []
+    for t in range(n_tables):
+        proj = planes[t] @ qvec  # (bits,)
+        margins = np.abs(proj)
+        signs = proj >= 0.0
+        idxs = np.argsort(margins)[:m]
+        cand: list[tuple[float, tuple[int, ...]]] = []
+        for r in range(0, m + 1):
+            for flip in combinations(range(m), r):
+                cost = float(margins[idxs[list(flip)]].sum()) if flip else 0.0
+                cand.append((cost, tuple(int(idxs[f]) for f in flip)))
+        cand.sort(key=lambda cf: (cf[0], len(cf[1])))
+        keys = []
+        for _cost, flips in cand[:n_probes]:
+            s = signs.copy()
+            for f in flips:
+                s[f] = not s[f]
+            keys.append("".join("1" if x else "0" for x in s))
+        out.append(keys)
+    return out
+
+
 def lsh_bucket_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -158,6 +196,7 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     seed: int = 13,
     plane_udf: bool | None = None,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH.
 
@@ -166,6 +205,14 @@ def lsh_bucket_topk(
     per-query top-k. At 10^12 scale the bucket join replaces the full
     cross product; planes ship as literals (dim<=128) or inside a
     pandas-UDF closure (higher dims) — see ``_bucket_array_col``.
+
+    ``n_probes > 1`` turns on multi-probe LSH: each query additionally
+    probes the buckets reachable by flipping its lowest-margin sign
+    bits (``_multiprobe_keys``), trading a slightly larger broadcast
+    query side for recall — the standard way to buy recall without
+    adding tables (which would re-hash the whole corpus). The corpus
+    side of the plan is byte-identical to ``n_probes=1``; the default
+    stays 1 so the oracle-gated path is untouched.
     """
     planes = _hyperplanes(dim, n_tables, bits, seed)
     base = with_norm(emb, vec_col).select(
@@ -176,13 +223,39 @@ def lsh_bucket_topk(
         "vec_id", "__v", "__norm", F.posexplode("__bks").alias("table", "bucket")
     )
 
-    q = stacked.where(F.col("vec_id").isin([int(i) for i in query_ids])).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("__v").alias("__qv"),
-        F.col("__norm").alias("__qnorm"),
-        "table",
-        "bucket",
-    )
+    if n_probes > 1:
+        # probe keys are computed driver-side from the (k-bounded) query
+        # vectors — the collect pulls len(query_ids) rows, nothing
+        # corpus-sized
+        qid_list = [int(i) for i in query_ids]
+        qrows = emb.where(F.col(id_col).cast("long").isin(qid_list)).select(
+            F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("__qe")
+        ).collect()
+        probe_rows = []
+        for r in qrows:
+            v = np.asarray(r["__qe"], dtype=np.float64)
+            for t, keys in enumerate(_multiprobe_keys(planes, v, n_probes)):
+                for key in keys:
+                    probe_rows.append((int(r["vec_id"]), t, key))
+        probes = emb.sparkSession.createDataFrame(
+            probe_rows, "query_id long, table int, bucket string"
+        )
+        qvecs = hashed.where(F.col("vec_id").isin(qid_list)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("__v").alias("__qv"),
+            F.col("__norm").alias("__qnorm"),
+        )
+        q = probes.join(qvecs, on="query_id").select(
+            "query_id", "__qv", "__qnorm", "table", "bucket"
+        )
+    else:
+        q = stacked.where(F.col("vec_id").isin([int(i) for i in query_ids])).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("__v").alias("__qv"),
+            F.col("__norm").alias("__qnorm"),
+            "table",
+            "bucket",
+        )
     cand = (
         stacked.join(F.broadcast(q), on=["table", "bucket"])
         .where(F.col("vec_id") != F.col("query_id"))

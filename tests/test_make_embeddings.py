@@ -127,3 +127,67 @@ def test_near_dup_pairs_plane_udf_same_result(spark):
         ).collect()
     }
     assert a == b and a
+
+
+def test_multiprobe_improves_isotropic_recall(spark):
+    """Multi-probe (Lv et al. '07) buys recall on the isotropic worst
+    case by probing the query's lowest-margin bit-flip buckets —
+    without touching the corpus side of the plan."""
+    emb = make_embeddings(spark, 4000, dim=32)
+    qids = [0, 1, 2]
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk(emb, qids, k=10).collect()
+    }
+    kw = dict(k=10, n_tables=8, bits=10, dim=32, plane_udf=True)
+    one_rows = similarity.lsh_bucket_topk(emb, qids, n_probes=1, **kw).collect()
+    multi_rows = similarity.lsh_bucket_topk(emb, qids, n_probes=16, **kw).collect()
+    one = {(r["query_id"], r["vec_id"]) for r in one_rows}
+    multi = {(r["query_id"], r["vec_id"]) for r in multi_rows}
+    r1 = len(truth & one) / len(truth)
+    rm = len(truth & multi) / len(truth)
+    assert rm > r1, (r1, rm)
+    assert rm >= 0.5, (r1, rm)
+    # more probes -> a candidate superset -> the kth-best cosine can only
+    # improve (the top-k SETS need not nest: better candidates displace)
+    for qid in qids:
+        worst_one = min(r["cos"] for r in one_rows if r["query_id"] == qid)
+        worst_multi = min(r["cos"] for r in multi_rows if r["query_id"] == qid)
+        assert worst_multi >= worst_one - 1e-6, (qid, worst_one, worst_multi)
+
+
+def test_multiprobe_default_unchanged(spark):
+    """n_probes=1 must stay byte-identical to the pre-multiprobe path
+    (it is the oracle-gated configuration)."""
+    emb = make_embeddings(spark, 1200, dim=16)
+    qids = [5, 7]
+    a = similarity.lsh_bucket_topk(emb, qids, k=5, n_tables=6, bits=6, dim=16).collect()
+    b = similarity.lsh_bucket_topk(
+        emb, qids, k=5, n_tables=6, bits=6, dim=16, n_probes=1
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_multiprobe_keys_ordering():
+    """Probe enumeration: base key first, then flips in increasing
+    total-margin order; all keys distinct; n_probes respected."""
+    import numpy as np
+
+    planes = similarity._hyperplanes(dim=8, n_tables=3, bits=6, seed=13)
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal(8)
+    per_table = similarity._multiprobe_keys(planes, v, n_probes=8)
+    assert len(per_table) == 3
+    for t, keys in enumerate(per_table):
+        assert len(keys) == 8
+        assert len(set(keys)) == 8
+        proj = planes[t] @ v
+        base = "".join("1" if x >= 0 else "0" for x in proj)
+        assert keys[0] == base
+        # each probe's flip cost is nondecreasing
+        margins = np.abs(proj)
+        costs = [
+            sum(m for m, (a, b) in zip(margins, zip(base, key)) if a != b)
+            for key in keys
+        ]
+        assert costs == sorted(costs)

@@ -181,8 +181,18 @@ def main() -> None:
     ).collect()
     lsh_rows = lsh_fn()
     report["p_ann_lsh_sec"] = round(_best_of(lsh_fn, 2), 3)
+    mp_fn = lambda: similarity.lsh_bucket_topk(  # noqa: E731
+        emb, qids, k=10, n_tables=16, bits=12, dim=64, plane_udf=True,
+        n_probes=16,
+    ).collect()
+    mp_rows = mp_fn()
+    report["p_ann_multiprobe_sec"] = round(_best_of(mp_fn, 2), 3)
     truth = {(r["query_id"], r["vec_id"]) for r in brute_rows}
     got = {(r["query_id"], r["vec_id"]) for r in lsh_rows}
+    mp_got = {(r["query_id"], r["vec_id"]) for r in mp_rows}
+    report["p_ann_multiprobe_recall_at10"] = round(
+        len(truth & mp_got) / max(1, len(truth)), 3
+    )
     top1 = {(r["query_id"], r["vec_id"]) for r in brute_rows if r["rank"] == 1}
     report["p_ann_lsh_recall_at10"] = round(len(truth & got) / max(1, len(truth)), 3)
     report["p_ann_lsh_recall_at1"] = round(

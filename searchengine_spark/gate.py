@@ -1833,6 +1833,17 @@ ORDER BY doc_id
         .orderBy("query_id", "rank"),
         ann_lsh_sql(QIDS, 10),
     )
+    # multi-probe variant (Lv et al. '07): probe enumeration is a
+    # driver-side margin sort over the query vectors — not
+    # SQL-expressible, so this entry takes the driver's rows-only check;
+    # recall-vs-brute improvement, probe ordering, and n_probes=1
+    # byte-identity are pytest-pinned (tests/test_make_embeddings.py).
+    r["ann_multiprobe_topk"] = (
+        lambda spark, sf: similarity.lsh_bucket_topk(
+            emb_df(spark, sf), QIDS, k=10, n_probes=8
+        ).orderBy("query_id", "rank"),
+        None,
+    )
     r["emb_near_dup"] = (
         lambda spark, sf: similarity.embedding_near_dup_pairs(
             emb_df(spark, sf), threshold=0.45

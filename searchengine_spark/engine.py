@@ -14,6 +14,7 @@ import math
 from pyspark.sql import DataFrame, functions as F
 
 from searchengine_spark.analyzer import get_analyzer
+from searchengine_spark.functions.xxh64 import term_bucket
 from searchengine_spark.index.build import InvertedIndex
 from searchengine_spark.operators.topk import attach_ext_ids, topk, topk_grouped
 from searchengine_spark.plans.ast import IopNode, SopNode, TermNode
@@ -234,19 +235,14 @@ class SearchEngine:
 
     def _terms_scan_cond(self, fld: str, terms: list[str]):
         """Pushed-down scan predicate for a fused batch: term-IN plus a
-        literal bucket-IN (the terms' bucket dirs resolve with one
-        local-relation microjob, so the partition listing prunes no
-        matter how many queries share the scan)."""
-        spark = self.index.spark
+        literal bucket-IN (resolved with the driver-side XXH64 — zero
+        Spark jobs on the compile path — so the partition listing
+        prunes no matter how many queries share the scan)."""
         cond = (F.col("field") == fld) & F.col("term").isin(terms)
         if self.index.n_buckets:
-            buckets = [
-                int(r[0])
-                for r in spark.createDataFrame([(t,) for t in terms], "t string")
-                .select(F.pmod(F.xxhash64("t"), F.lit(self.index.n_buckets)))
-                .distinct()
-                .collect()
-            ]
+            buckets = sorted(
+                {term_bucket(t, self.index.n_buckets) for t in terms}
+            )
             cond = cond & F.col("bucket").isin(buckets)
         return cond
 

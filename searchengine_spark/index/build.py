@@ -369,7 +369,8 @@ def write_index(
     bucketed = index.postings.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int")
     ).withColumn("seg", F.lit("base"))
-    if todo:
+
+    def _postings_work() -> float:
         t0 = time.time()
         # Salted shuffle: partitioning by bucket alone would funnel a
         # stopword-heavy bucket's entire posting mass through ONE writer
@@ -381,7 +382,20 @@ def write_index(
         # APPEND ``seg=bN_M`` dirs under each bucket instead of
         # rewriting the base — a web-scale index is ingested into, and
         # a full rewrite per crawl cycle does not survive 100 TB.
-        salt = int(os.environ.get("SPARK_GRAFT_WRITE_SALT", "8"))
+        #
+        # Salt scales with corpus size (token count from field_stats —
+        # free, no extra job): a FIXED salt means per-writer sort size
+        # grows linearly with the corpus, and the external sorter falls
+        # off the in-memory cliff — the 4M-page run measured 7.4x write
+        # cost for 4x the postings with salt pinned at 8.
+        env_salt = os.environ.get("SPARK_GRAFT_WRITE_SALT")
+        if env_salt is not None:
+            salt = int(env_salt)
+        else:
+            est_tokens = sum(
+                int(v.get("sum_len", 0)) for v in index.field_stats.values()
+            )
+            salt = max(8, -(-est_tokens // (buckets * 500_000)))
         (
             bucketed.where(F.col("bucket").isin([int(b) for b in todo]))
             .repartition(
@@ -416,6 +430,7 @@ def write_index(
             with open(tmp, "w") as f:
                 json.dump(rec, f)
             os.replace(tmp, _bucket_entry(path, b))
+        return wall
 
     # Side tables: idempotent under resume — if meta.json already records
     # this fingerprint they are complete; rewriting would also self-clobber
@@ -429,45 +444,78 @@ def write_index(
         except (json.JSONDecodeError, OSError):
             sides_done = False
     result["sides_skipped"] = sides_done
-    if not sides_done:
-        # LSM side-table layout: every table is a set of append-only
-        # ``seg=`` partition dirs (term-keyed ones additionally bucketed
-        # by the postings' term hash). A streaming minor compaction then
-        # APPENDS delta-derived seg dirs — df/ctf/block maxima are
-        # additive/mergeable, so ``read_index`` folds segments with a
-        # vocab-sized aggregate instead of anyone rewriting base data.
-        def _with_bucket(df: DataFrame) -> DataFrame:
-            return df.withColumn(
-                "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int")
-            ).withColumn("seg", F.lit("base"))
 
-        (
-            _with_bucket(index.term_stats)
+    # LSM side-table layout: every table is a set of append-only
+    # ``seg=`` partition dirs (term-keyed ones additionally bucketed
+    # by the postings' term hash). A streaming minor compaction then
+    # APPENDS delta-derived seg dirs — df/ctf/block maxima are
+    # additive/mergeable, so ``read_index`` folds segments with a
+    # vocab-sized aggregate instead of anyone rewriting base data.
+    def _with_bucket(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int")
+        ).withColumn("seg", F.lit("base"))
+
+    def _timed_write(fn) -> float:
+        t0 = time.time()
+        fn()
+        return time.time() - t0
+
+    def _term_stats_work() -> float:
+        return _timed_write(
+            lambda: _with_bucket(index.term_stats)
             .repartition(buckets, "bucket")
             .write.mode("overwrite")
             .partitionBy("bucket", "seg")
             .parquet(os.path.join(path, "term_stats"))
         )
-        (
-            index.doc_stats.withColumn("seg", F.lit("base"))
+
+    def _doc_stats_work() -> float:
+        return _timed_write(
+            lambda: index.doc_stats.withColumn("seg", F.lit("base"))
             .write.mode("overwrite")
             .partitionBy("seg")
             .parquet(os.path.join(path, "doc_stats"))
         )
-        if index.block_stats is not None:
-            (
-                _with_bucket(index.block_stats)
-                .repartition(buckets, "bucket")
-                .write.mode("overwrite")
-                .partitionBy("bucket", "seg")
-                .parquet(os.path.join(path, "block_stats"))
-            )
-        (
-            index.docs.withColumn("seg", F.lit("base"))
+
+    def _block_stats_work() -> float:
+        return _timed_write(
+            lambda: _with_bucket(index.block_stats)
+            .repartition(buckets, "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket", "seg")
+            .parquet(os.path.join(path, "block_stats"))
+        )
+
+    def _docs_work() -> float:
+        return _timed_write(
+            lambda: index.docs.withColumn("seg", F.lit("base"))
             .write.mode("overwrite")
             .partitionBy("seg")
             .parquet(os.path.join(path, "docs"))
         )
+
+    # The five writes are independent Spark jobs over cached inputs —
+    # run them concurrently so the per-job fixed costs (scheduling,
+    # dynamic-overwrite commit, parquet footer fsyncs) and the straggler
+    # tails overlap instead of adding (same discipline as compaction's
+    # threaded seg writes, streaming/ingest.py).
+    from concurrent.futures import ThreadPoolExecutor
+
+    phases: dict[str, float] = {}
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        futures = {}
+        if todo:
+            futures["postings"] = pool.submit(_postings_work)
+        if not sides_done:
+            futures["term_stats"] = pool.submit(_term_stats_work)
+            futures["doc_stats"] = pool.submit(_doc_stats_work)
+            if index.block_stats is not None:
+                futures["block_stats"] = pool.submit(_block_stats_work)
+            futures["docs"] = pool.submit(_docs_work)
+        for name, fut in futures.items():
+            phases[name] = round(fut.result(), 3)
+    result["phase_sec"] = phases
     from searchengine_spark.analyzer import analyzer_version
 
     meta = {
@@ -526,12 +574,15 @@ def read_index(spark: SparkSession, path: str) -> InvertedIndex:
         if "seg" in df.columns:
             # df/ctf are sums — fold the append-only segments at read
             # time (vocab-sized agg; minor compaction never rewrites
-            # the base stats segment)
-            return df.groupBy("term", "field").agg(
+            # the base stats segment). ``bucket`` is functionally
+            # determined by term, so keeping it in the keys changes no
+            # group — and lets stats prefetch prune partition dirs.
+            keys = ["bucket", "term", "field"] if "bucket" in df.columns else ["term", "field"]
+            return df.groupBy(*keys).agg(
                 F.sum("df").cast("long").alias("df"),
                 F.sum("ctf").cast("long").alias("ctf"),
             )
-        return df.drop("bucket") if "bucket" in df.columns else df
+        return df
 
     def _block_stats() -> DataFrame | None:
         if not os.path.isdir(block_path):

@@ -30,14 +30,18 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
+from searchengine_spark.functions.xxh64 import term_bucket
 from searchengine_spark.index.build import BLOCK_RANGE, InvertedIndex
 
 
 def _idfs(index: InvertedIndex, terms: list[str], field: str) -> dict[str, float]:
-    keys = [f"{t}\x00{field}" for t in terms]
-    rows = index.term_stats.where(
-        F.concat_ws("\x00", F.col("term"), F.col("field")).isin(keys)
-    ).collect()
+    fr = index.term_stats
+    cond = F.col("term").isin(list(terms)) & (F.col("field") == field)
+    if "bucket" in fr.columns and index.n_buckets:
+        cond = F.col("bucket").isin(
+            sorted({term_bucket(t, index.n_buckets) for t in terms})
+        ) & cond
+    rows = fr.where(cond).select("term", "df").collect()
     dfs = {r["term"]: int(r["df"]) for r in rows}
     n = float(index.n_docs)
     return {
@@ -47,20 +51,16 @@ def _idfs(index: InvertedIndex, terms: list[str], field: str) -> dict[str, float
 
 
 def _term_scans(index: InvertedIndex, terms: list[str], field: str):
-    """ONE postings scan for all terms. The OR of constant-foldable
-    per-term bucket equalities still prunes partitions to the union of
-    the terms' bucket directories (pinned by tests/test_pruning.py), so
-    the single scan reads the same files as the per-term union did —
-    once instead of k times."""
+    """ONE postings scan for all terms. The literal bucket-IN (ids from
+    the driver-side XXH64) prunes partitions to the union of the terms'
+    bucket directories (pinned by tests/test_pruning.py), so the single
+    scan reads the same files as the per-term union did — once instead
+    of k times."""
     cond = (F.col("field") == field) & F.col("term").isin(list(terms))
     if index.n_buckets:
-        b = None
-        for t in terms:
-            eq = F.col("bucket") == F.pmod(
-                F.xxhash64(F.lit(t)), F.lit(index.n_buckets)
-            )
-            b = eq if b is None else (b | eq)
-        cond = cond & b
+        cond = cond & F.col("bucket").isin(
+            sorted({term_bucket(t, index.n_buckets) for t in terms})
+        )
     return index.postings.where(cond).select("term", "doc_id", "tf", "doc_len")
 
 

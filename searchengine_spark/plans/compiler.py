@@ -43,6 +43,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from searchengine_spark.functions.xxh64 import term_bucket
 from searchengine_spark.index.build import InvertedIndex
 from searchengine_spark.operators.positional import (
     positional_merge_udf,
@@ -111,6 +112,16 @@ class Compiler:
         # threshold to force the join shape (plan tests do).
         self.agg_threshold = agg_threshold
 
+    def _bucket_cond(self, terms) -> Column | None:
+        """``bucket IN (<literal ids>)`` partition-pruning predicate,
+        resolved driver-side with the pure-Python XXH64 (bit-equal to
+        the JVM hash, pinned by test_xxh64_matches_spark) — no foldable
+        expression chain for Catalyst to churn through, no Spark job."""
+        if not self.index.n_buckets:
+            return None
+        ids = sorted({term_bucket(t, self.index.n_buckets) for t in terms})
+        return F.col("bucket").isin(ids)
+
     # ------------------------------------------------------------------
     # stats prefetch: ONE small filtered collect for all terms in a query
     # ------------------------------------------------------------------
@@ -128,14 +139,21 @@ class Compiler:
         missing = [tf for tf in wanted if tf not in self.term_stats]
         if not missing:
             return
-        keys = [f"{t}\x00{f}" for t, f in missing]
-        rows = (
-            self.index.term_stats.where(
-                F.concat_ws("\x00", F.col("term"), F.col("field")).isin(keys)
-            )
-            .select("term", "field", "df", "ctf")
-            .collect()
-        )
+        # term-IN + field-IN push down to the parquet scan (dictionary
+        # + min/max row-group skipping); a literal bucket-IN prunes the
+        # stats table's partition dirs outright — the old concat_ws key
+        # filter was exact but unpushable, so every prefetch read the
+        # ENTIRE vocab-sized stats table. Over-selection (term x field
+        # cross pairs) is a constant factor; the lookup dict below keeps
+        # only the wanted pairs.
+        terms = sorted({t for t, _ in missing})
+        flds = sorted({f for _, f in missing})
+        fr = self.index.term_stats
+        cond = F.col("term").isin(terms) & F.col("field").isin(flds)
+        if "bucket" in fr.columns and self.index.n_buckets:
+            ids = sorted({term_bucket(t, self.index.n_buckets) for t in terms})
+            cond = F.col("bucket").isin(ids) & cond
+        rows = fr.where(cond).select("term", "field", "df", "ctf").collect()
         found = {(r["term"], r["field"]): (int(r["df"]), int(r["ctf"])) for r in rows}
         for tf in missing:
             self.term_stats[tf] = found.get(tf, (0, 0))
@@ -152,12 +170,10 @@ class Compiler:
         # consume the position lists.
         if isinstance(node, TermNode):
             cond = (F.col("term") == node.term) & (F.col("field") == node.field)
-            if self.index.n_buckets:
-                # constant-foldable -> partition pruning on the bucket dir
-                cond = cond & (
-                    F.col("bucket")
-                    == F.pmod(F.xxhash64(F.lit(node.term)), F.lit(self.index.n_buckets))
-                )
+            bc = self._bucket_cond([node.term])
+            if bc is not None:
+                # literal bucket id -> partition pruning on the bucket dir
+                cond = cond & bc
             fr = self.index.postings.where(cond).select(
                 "doc_id", "tf", "doc_len", "positions"
             )
@@ -252,14 +268,9 @@ class Compiler:
         fld = items[0][1].field
         names = [t.term for _, t in items]
         cond = (F.col("field") == fld) & F.col("term").isin(names)
-        if self.index.n_buckets:
-            b = None
-            for t in names:
-                eq = F.col("bucket") == F.pmod(
-                    F.xxhash64(F.lit(t)), F.lit(self.index.n_buckets)
-                )
-                b = eq if b is None else (b | eq)
-            cond = cond & b
+        bc = self._bucket_cond(names)
+        if bc is not None:
+            cond = cond & bc
         ti_col = None
         for i, t in items:
             match = F.col("term") == t.term
@@ -451,14 +462,9 @@ class Compiler:
             p_defs.append(ctf_def / collen)
 
         cond = (F.col("field") == fld) & F.col("term").isin(names)
-        if self.index.n_buckets:
-            b = None
-            for t in names:
-                eq = F.col("bucket") == F.pmod(
-                    F.xxhash64(F.lit(t)), F.lit(self.index.n_buckets)
-                )
-                b = eq if b is None else (b | eq)
-            cond = cond & b
+        bc = self._bucket_cond(names)
+        if bc is not None:
+            cond = cond & bc
         fr = self.index.postings.where(cond)
 
         tf = F.col("tf").cast("double")
@@ -602,14 +608,9 @@ class Compiler:
         m = self.model
         terms = [t.term for _, t in items]
         cond = (F.col("field") == fld) & F.col("term").isin(terms)
-        if self.index.n_buckets:
-            b = None
-            for t in terms:
-                eq = F.col("bucket") == F.pmod(
-                    F.xxhash64(F.lit(t)), F.lit(self.index.n_buckets)
-                )
-                b = eq if b is None else (b | eq)
-            cond = cond & b
+        bc = self._bucket_cond(terms)
+        if bc is not None:
+            cond = cond & bc
         fr = self.index.postings.where(cond)
 
         n = float(self.index.n_docs)

@@ -131,3 +131,33 @@ def test_read_index_rejects_stale_analyzer_version(spark, tmp_path):
     with open(meta_path, "w") as fh:
         json.dump(meta, fh)
     assert read_index(spark, path).n_docs == idx.n_docs
+
+
+def test_xxh64_matches_spark(spark):
+    """The driver-side XXH64 (functions/xxh64.py) must be bit-equal to
+    Spark's F.xxhash64 on UTF-8 strings — every bucket-pruning literal
+    in the compiler/engine/WAND paths depends on it. A divergence would
+    silently prune the WRONG bucket dir (missing postings, no error)."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.functions.xxh64 import term_bucket, xxh64
+
+    samples = [
+        "", "a", "ab", "abc", "abcd", "abcde", "abcdefg", "abcdefgh",
+        "abcdefghi", "the", "retrieval", "0123456789abcdef",
+        "0123456789abcdef0",  # 17: word tail + 4-byte + byte tail
+        "0123456789abcdef0123456789abcdef",  # exactly 32 (stripe)
+        "0123456789abcdef0123456789abcdefX",  # 33
+        "x" * 31, "x" * 63, "x" * 64, "x" * 100,
+        "naïve", "東京スカイツリー", "emoji 🎉 tail", "Ω" * 40,
+    ]
+    rows = (
+        spark.createDataFrame([(s,) for s in samples], "s string")
+        .select("s", F.xxhash64("s").alias("h"), F.pmod(F.xxhash64("s"), F.lit(32)).alias("b"))
+        .collect()
+    )
+    for r in rows:
+        got = xxh64(r["s"].encode("utf-8"))
+        signed = got - (1 << 64) if got >= 1 << 63 else got
+        assert signed == r["h"], f"xxh64 mismatch on {r['s']!r}"
+        assert term_bucket(r["s"], 32) == r["b"], f"bucket mismatch on {r['s']!r}"

@@ -12,6 +12,22 @@ from searchengine_spark.engine import SearchEngine
 from searchengine_spark.index.build import assign_doc_ids, build_index, read_index, write_index
 
 
+def _bucket_literals(plan: str) -> set[int]:
+    """Bucket ids a physical plan's partition filters pin — accepts the
+    three shapes Catalyst prints: ``bucket#N = 5``, ``bucket#N IN (3,5)``
+    and ``bucket#N INSET 3, 5`` (a single-element isin folds to =)."""
+    import re
+
+    got: set[int] = set()
+    for m in re.finditer(r"bucket#\d+ = (\d+)", plan):
+        got.add(int(m.group(1)))
+    for m in re.finditer(r"bucket#\d+ IN \(([^)]*)\)", plan):
+        got.update(int(x) for x in m.group(1).split(","))
+    for m in re.finditer(r"bucket#\d+ INSET ([\d, ]+)", plan):
+        got.update(int(x) for x in m.group(1).split(","))
+    return got
+
+
 @pytest.fixture(scope="module")
 def disk_index(spark, tmp_path_factory):
     docs = assign_doc_ids(extract_fields(make_pages(spark, 400, seed=9)), ext_id_col="url")
@@ -90,9 +106,8 @@ def test_wand_pruned_path_prunes_buckets_per_term(spark, disk_index):
         )
         for t in terms
     }
-    const_filters = re.findall(r"bucket#\d+ = (\d+)", plan)
-    assert const_filters, f"no constant bucket partition filter in plan:\n{plan[:2000]}"
-    got = {int(b) for b in const_filters}
+    got = _bucket_literals(plan)
+    assert got, f"no constant bucket partition filter in plan:\n{plan[:2000]}"
     assert set(expected_buckets.values()) <= got, (expected_buckets, got)
     # and the scans carry the pushed term filters too
     assert "PartitionFilters" in plan and "PushedFilters" in plan
@@ -115,9 +130,8 @@ def test_batched_sum_scan_prunes_bucket_union(spark, disk_index):
     )
     assert plan.count("FileScan") == 1, f"expected ONE postings scan:\n{plan[:1500]}"
     assert "PartitionFilters" in plan
-    consts = re.findall(r"bucket#\d+ = (\d+)", plan)
     expected = {
         int(spark.sql(f"SELECT pmod(xxhash64('{t}'), {idx.n_buckets}) AS b").first()["b"])
         for t in q.split()
     }
-    assert expected == {int(c) for c in consts}, (expected, consts)
+    assert expected == _bucket_literals(plan), (expected, plan[:1500])

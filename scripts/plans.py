@@ -49,6 +49,20 @@ def formatted(df, max_lines: int = 200) -> str:
     return "\n".join(lines)
 
 
+def _stats_prefetch_frame(idx):
+    """The exact frame Compiler.prefetch_term_stats collects."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.functions.xxh64 import term_bucket
+
+    terms = ["cerim", "dirim"]
+    cond = F.col("term").isin(terms) & F.col("field").isin(["body"])
+    if "bucket" in idx.term_stats.columns and idx.n_buckets:
+        ids = sorted({term_bucket(t, idx.n_buckets) for t in terms})
+        cond = F.col("bucket").isin(ids) & cond
+    return idx.term_stats.where(cond).select("term", "field", "df", "ctf")
+
+
 def main() -> None:
     spark = get_spark("plans", cores=4, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
@@ -102,6 +116,11 @@ def main() -> None:
                 [("q1", "cerim dirim"), ("q2", "barim cerim"), ("q3", "dirim batok")],
                 model="bm25", k=10,
             ),
+        ),
+        (
+            "Stats prefetch (bucket-pruned term_stats segment fold)",
+            "The compiler's one-collect-per-batch stats prefetch: literal bucket-IN prunes the term_stats partition dirs (the segment-fold groupBy keeps `bucket` in its keys so the filter pushes through the aggregate); term/field filters push to the parquet scan.",
+            _stats_prefetch_frame(idx),
         ),
         (
             "MinHash-LSH near-dup pairs (band equi-join, hashed verify)",

@@ -113,6 +113,29 @@ def test_wand_pruned_path_prunes_buckets_per_term(spark, disk_index):
     assert "PartitionFilters" in plan and "PushedFilters" in plan
 
 
+def test_stats_prefetch_prunes_term_stats_buckets(spark, disk_index):
+    """The compiler's stats prefetch reads the persisted term_stats
+    table with a literal bucket-IN — the scan must show bucket
+    PartitionFilters (the segment-fold groupBy keeps ``bucket`` in its
+    keys precisely so this pruning survives), not a full-vocab read."""
+    from searchengine_spark.functions.xxh64 import term_bucket
+
+    idx, _ = disk_index
+    terms = ["cerim", "dirim"]
+    ids = sorted({term_bucket(t, idx.n_buckets) for t in terms})
+    fr = idx.term_stats.where(
+        F.col("bucket").isin(ids)
+        & F.col("term").isin(terms)
+        & (F.col("field") == "body")
+    )
+    plan = fr._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert set(ids) <= _bucket_literals(plan), (ids, plan[:2000])
+    # and the filtered collect returns exactly the wanted terms
+    got = {r["term"]: int(r["df"]) for r in fr.collect()}
+    assert set(got) == set(terms) and all(v > 0 for v in got.values())
+
+
 def test_batched_sum_scan_prunes_bucket_union(spark, disk_index):
     """The single-scan long-query BM25 path pushes an OR of constant
     per-term bucket equalities — partition pruning reads only the union

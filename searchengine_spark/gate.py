@@ -506,76 +506,133 @@ SELECT u.doc_id, CAST(round({sums}, 6) AS DOUBLE) AS score FROM u {joins}
 # -- english-analyzer (stop + krovetz_lite) oracle ---------------------------
 
 
-def _kstem_sql(w: str) -> str:
-    """krovetz_lite (analyzer.py) as a SQL CASE over token ``w`` — same
-    step order: direct-conflation exceptions, whole-word lexicon hit,
-    then the dictionary-first plural / -ied/-ed / -ing steps ('+e'
-    candidate probed before the bare stem, doubling undo checked
-    against the lexicon) with the same heuristic fallbacks. Built from
-    the SAME analyzer.KSTEM_EXCEPTIONS / KSTEM_LEXICON tables — one
-    source of truth; byte-equality with the Python stemmer is pinned by
-    tests/test_kstem_golden.py."""
-    from searchengine_spark.analyzer import KSTEM_EXCEPTIONS, KSTEM_LEXICON
+def _kstem_dbl(stem: str) -> str:
+    return f"length({stem}) >= 3 AND right({stem}, 1) = left(right({stem}, 2), 1)"
 
-    mapped = sorted(KSTEM_EXCEPTIONS.items())
-    lex_list = ", ".join(f"'{t}'" for t in sorted(KSTEM_LEXICON))
-    mapped_arms = "\n".join(
-        f" WHEN {w} = '{k}' THEN '{v}'" for k, v in mapped
+
+def _kstem_wants_e(stem: str) -> str:
+    return (
+        f"(length({stem}) >= 3 "
+        f"AND right({stem}, 1) NOT IN ('a','e','i','o','u','w','x','y') "
+        f"AND ((left(right({stem}, 2), 1) IN ('a','e','i','o','u') "
+        f"AND left(right({stem}, 3), 1) NOT IN ('a','e','i','o','u')) "
+        f"OR right({stem}, 1) IN ('c','g','v','z')))"
     )
 
-    def dbl(stem: str) -> str:
-        return (
-            f"length({stem}) >= 3 AND right({stem}, 1) = left(right({stem}, 2), 1)"
-        )
 
-    def wants_e(stem: str) -> str:
-        return (
-            f"(length({stem}) >= 3 "
-            f"AND right({stem}, 1) NOT IN ('a','e','i','o','u','w','x','y') "
-            f"AND ((left(right({stem}, 2), 1) IN ('a','e','i','o','u') "
-            f"AND left(right({stem}, 3), 1) NOT IN ('a','e','i','o','u')) "
-            f"OR right({stem}, 1) IN ('c','g','v','z')))"
-        )
+def _kstem_case(c: dict, mem: dict) -> str:
+    """krovetz_lite (analyzer.py) as a SQL CASE skeleton — same step
+    order: direct-conflation exceptions, whole-word lexicon hit, then
+    the dictionary-first plural / -ied/-ed / -ing steps ('+e' candidate
+    probed before the bare stem, doubling undo checked against the
+    lexicon) with the same heuristic fallbacks.
 
-    sed = f"left({w}, length({w}) - 2)"
-    sing = f"left({w}, length({w}) - 3)"
-    s1 = f"left({w}, length({w}) - 1)"
-    iesy = f"left({w}, length({w}) - 3) || 'y'"
+    ``c`` maps candidate tags to SQL string expressions (w = the token,
+    s1/s2/s3/s4 = token minus 1..4 trailing chars, s3y/s3e = s3 + 'y'/
+    'e'); ``mem`` maps the same tags to SQL booleans meaning "candidate
+    is a lexicon member". Both oracle forms — the scalar IN-list CASE
+    (_kstem_sql) and the hash-join stem map (kstem_map_ctes) —
+    instantiate THIS skeleton from the same analyzer.KSTEM_EXCEPTIONS /
+    KSTEM_LEXICON tables, so branch structure and tables have one
+    source of truth; byte-equality of both with the Python stemmer is
+    pinned by tests/test_kstem_golden.py."""
+    from searchengine_spark.analyzer import KSTEM_EXCEPTIONS
+
+    w, s1, s2, s3 = c["w"], c["s1"], c["s2"], c["s3"]
+    s3y, s3e, s4 = c["s3y"], c["s3e"], c["s4"]
+    mapped_arms = "\n".join(
+        f" WHEN {w} = '{k}' THEN '{v}'"
+        for k, v in sorted(KSTEM_EXCEPTIONS.items())
+    )
     return f"""CASE
 {mapped_arms}
  WHEN length({w}) <= 3 OR NOT regexp_matches({w}, '^[a-z]+$') THEN {w}
- WHEN {w} IN ({lex_list}) THEN {w}
+ WHEN {mem['w']} THEN {w}
  WHEN ends_with({w}, 'ies') AND length({w}) > 4 THEN
-   (CASE WHEN {iesy} IN ({lex_list}) THEN {iesy}
-         WHEN {s1} IN ({lex_list}) THEN {s1}
-         ELSE {iesy} END)
+   (CASE WHEN {mem['s3y']} THEN {s3y}
+         WHEN {mem['s1']} THEN {s1}
+         ELSE {s3y} END)
  WHEN ends_with({w}, 'sses') THEN left({w}, length({w}) - 2)
  WHEN ends_with({w}, 'ss') OR ends_with({w}, 'us') THEN {w}
  WHEN ends_with({w}, 'es') AND length({w}) >= 4 THEN
-   (CASE WHEN {s1} IN ({lex_list}) THEN {s1}
-         WHEN {sed} IN ({lex_list}) THEN {sed}
-         WHEN length({w}) > 4 AND (ends_with({sed}, 'x') OR ends_with({sed}, 'ch')
-              OR ends_with({sed}, 'sh') OR ends_with({sed}, 'z') OR ends_with({sed}, 's'))
-         THEN {sed} ELSE {s1} END)
+   (CASE WHEN {mem['s1']} THEN {s1}
+         WHEN {mem['s2']} THEN {s2}
+         WHEN length({w}) > 4 AND (ends_with({s2}, 'x') OR ends_with({s2}, 'ch')
+              OR ends_with({s2}, 'sh') OR ends_with({s2}, 'z') OR ends_with({s2}, 's'))
+         THEN {s2} ELSE {s1} END)
  WHEN ends_with({w}, 's') THEN left({w}, length({w}) - 1)
  WHEN ends_with({w}, 'ied') AND length({w}) > 4 THEN left({w}, length({w}) - 3) || 'y'
  WHEN ends_with({w}, 'ed') AND length({w}) > 4 THEN
-   (CASE WHEN {s1} IN ({lex_list}) THEN {s1}
-         WHEN {sed} IN ({lex_list}) THEN {sed}
-         WHEN {dbl(sed)} AND left({sed}, length({sed}) - 1) IN ({lex_list})
-           THEN left({sed}, length({sed}) - 1)
-         WHEN {dbl(sed)} AND right({sed}, 1) NOT IN ('l','s','z','a','e','i','o','u')
-           THEN left({sed}, length({sed}) - 1)
-         WHEN {wants_e(sed)} THEN {sed} || 'e' ELSE {sed} END)
+   (CASE WHEN {mem['s1']} THEN {s1}
+         WHEN {mem['s2']} THEN {s2}
+         WHEN {_kstem_dbl(s2)} AND {mem['s3']} THEN {s3}
+         WHEN {_kstem_dbl(s2)} AND right({s2}, 1) NOT IN ('l','s','z','a','e','i','o','u')
+           THEN {s3}
+         WHEN {_kstem_wants_e(s2)} THEN {s2} || 'e' ELSE {s2} END)
  WHEN ends_with({w}, 'ing') AND length({w}) > 5 THEN
-   (CASE WHEN {sing} || 'e' IN ({lex_list}) THEN {sing} || 'e'
-         WHEN {sing} IN ({lex_list}) THEN {sing}
-         WHEN {dbl(sing)} AND left({sing}, length({sing}) - 1) IN ({lex_list})
-           THEN left({sing}, length({sing}) - 1)
-         WHEN {dbl(sing)} AND right({sing}, 1) NOT IN ('l','s','z','a','e','i','o','u')
-           THEN left({sing}, length({sing}) - 1)
-         WHEN {wants_e(sing)} THEN {sing} || 'e' ELSE {sing} END)
+   (CASE WHEN {mem['s3e']} THEN {s3e}
+         WHEN {mem['s3']} THEN {s3}
+         WHEN {_kstem_dbl(s3)} AND {mem['s4']} THEN {s4}
+         WHEN {_kstem_dbl(s3)} AND right({s3}, 1) NOT IN ('l','s','z','a','e','i','o','u')
+           THEN {s4}
+         WHEN {_kstem_wants_e(s3)} THEN {s3} || 'e' ELSE {s3} END)
  ELSE {w} END"""
+
+
+def _kstem_sql(w: str) -> str:
+    """Scalar krovetz_lite CASE over token expression ``w`` — lexicon
+    membership as literal IN-lists. O(lexicon) per probe when the list
+    cannot be hash-folded, so this form is for per-word replay (the
+    golden test); corpus-scale oracles use kstem_map_ctes."""
+    from searchengine_spark.analyzer import KSTEM_LEXICON
+
+    lex_list = ", ".join(f"'{t}'" for t in sorted(KSTEM_LEXICON))
+    c = {
+        "w": w,
+        "s1": f"left({w}, length({w}) - 1)",
+        "s2": f"left({w}, length({w}) - 2)",
+        "s3": f"left({w}, length({w}) - 3)",
+        "s3y": f"left({w}, length({w}) - 3) || 'y'",
+        "s3e": f"left({w}, length({w}) - 3) || 'e'",
+        "s4": f"left({w}, length({w}) - 4)",
+    }
+    mem = {k: f"{v} IN ({lex_list})" for k, v in c.items()}
+    return _kstem_case(c, mem)
+
+
+def kstem_map_ctes(vocab: str = "vocab") -> str:
+    """CTE chain mapping every word in ``{vocab}(w)`` to its analyzed
+    form ``kt`` (stopword -> '', else krovetz_lite stem).
+
+    The lexicon ships ONCE as a table (klex) and every dictionary probe
+    is a hash LEFT JOIN on a candidate-form column, so oracle cost is
+    O(distinct vocab), independent of lexicon size — the previous
+    per-token lambda re-scanned a literal IN-list per probe (measured
+    1.3s -> 8.5s on sf0.01 when the lexicon grew 950 -> 5k words).
+    Emits CTEs klex, kc, kf, kstems; splice into a WITH chain."""
+    from searchengine_spark.analyzer import KSTEM_LEXICON, LUCENE_STOPWORDS
+
+    lex_rows = ", ".join(f"('{t}')" for t in sorted(KSTEM_LEXICON))
+    stop = ", ".join(f"'{s}'" for s in sorted(LUCENE_STOPWORDS))
+    tags = ("w", "s1", "s2", "s3", "s3y", "s3e", "s4")
+    c = {t: t for t in tags}
+    mem = {t: f"m_{t}" for t in tags}
+    flags = ", ".join(f"l_{t}.t IS NOT NULL AS m_{t}" for t in tags)
+    joins = "\n".join(f"  LEFT JOIN klex l_{t} ON l_{t}.t = kc.{t}" for t in tags)
+    return f"""klex AS (SELECT t FROM (VALUES {lex_rows}) AS __l(t)),
+kc AS (SELECT w,
+         left(w, greatest(length(w) - 1, 0)) AS s1,
+         left(w, greatest(length(w) - 2, 0)) AS s2,
+         left(w, greatest(length(w) - 3, 0)) AS s3,
+         left(w, greatest(length(w) - 3, 0)) || 'y' AS s3y,
+         left(w, greatest(length(w) - 3, 0)) || 'e' AS s3e,
+         left(w, greatest(length(w) - 4, 0)) AS s4
+       FROM {vocab}),
+kf AS (SELECT kc.*, {flags}
+       FROM kc
+{joins}),
+kstems AS (SELECT w, CASE WHEN w IN ({stop}) THEN '' ELSE {_kstem_case(c, mem)} END AS kt
+           FROM kf)"""
 
 
 def bm25_english_sql(stemmed_terms: list[str], k: int,
@@ -583,12 +640,9 @@ def bm25_english_sql(stemmed_terms: list[str], k: int,
     """BM25 #SUM over an ``english``-analyzed index: Lucene stopwords
     become '' (position slots preserved -> field length INCLUDES
     stopword slots, Idx.java:97 / TermVector stem-0 convention), other
-    tokens run through the krovetz_lite CASE. ``stemmed_terms`` are the
-    already-stemmed query terms."""
-    from searchengine_spark.analyzer import LUCENE_STOPWORDS
-
-    stop = ", ".join(f"'{s}'" for s in sorted(LUCENE_STOPWORDS))
-    kstem = _kstem_sql("w")
+    tokens stem via the kstem_map_ctes hash-join map (field length uses
+    the RAW token count — the '' slots keep it unchanged).
+    ``stemmed_terms`` are the already-stemmed query terms."""
     scs = []
     for i, t in enumerate(stemmed_terms):
         scs.append(
@@ -600,17 +654,17 @@ def bm25_english_sql(stemmed_terms: list[str], k: int,
     lst = ", ".join(f"'{t}'" for t in stemmed_terms)
     inner = f"""
 WITH raw AS (SELECT doc_id, {TOK} AS toks FROM documents),
-tok AS (SELECT doc_id,
-          list_transform(toks, w -> CASE WHEN w IN ({stop}) THEN '' ELSE {kstem} END) AS toks
-        FROM raw),
-dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS doc_len FROM tok),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS doc_len FROM raw),
+tokrows AS (SELECT doc_id, unnest(toks) AS w FROM raw),
+vocab AS (SELECT DISTINCT w FROM tokrows),
+{kstem_map_ctes("vocab")},
 st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
               CAST(sum(doc_len) AS DOUBLE) AS sum_len,
               CAST(sum(CASE WHEN doc_len > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS doc_count
        FROM dl),
-tf AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
-       FROM (SELECT doc_id, unnest(toks) AS t FROM tok)
-       WHERE t IN ({lst}) GROUP BY doc_id, t),
+tf AS (SELECT doc_id, kt AS term, CAST(count(*) AS BIGINT) AS tf
+       FROM tokrows JOIN kstems USING (w)
+       WHERE kt IN ({lst}) GROUP BY doc_id, kt),
 {_pivot_tf(stemmed_terms)},
 sc AS (SELECT pv.doc_id, {', '.join(scs)}
        FROM pv JOIN dl USING (doc_id) CROSS JOIN st)

@@ -248,10 +248,7 @@ def test_dictionary_first():
     assert krovetz_lite("was") == "was"
 
 
-@pytest.mark.parametrize("chunk", [0, 1])
-def test_oracle_sql_replays_stemmer_exactly(chunk):
-    """DuckDB CASE == python krovetz_lite for every golden/pinned word
-    plus suffix-heavy fuzz — the tokenization invariant (CLAUDE.md)."""
+def _oracle_words() -> list[str]:
     words = sorted(set(GOLDEN) | set(DIVERGES) | set(KSTEM_EXCEPTIONS)
                    | set(KSTEM_LEXICON))
     fuzz = [
@@ -260,7 +257,14 @@ def test_oracle_sql_replays_stemmer_exactly(chunk):
                         "controll", "qui")
         for s in ("", "s", "es", "ies", "ed", "ied", "ing", "ss", "us", "sses")
     ]
-    words = (words + fuzz)[chunk::2]
+    return words + fuzz
+
+
+@pytest.mark.parametrize("chunk", [0, 1])
+def test_oracle_sql_replays_stemmer_exactly(chunk):
+    """DuckDB scalar CASE == python krovetz_lite for every golden/pinned
+    word plus suffix-heavy fuzz — the tokenization invariant (CLAUDE.md)."""
+    words = _oracle_words()[chunk::2]
     con = duckdb.connect()
     sql = _kstem_sql("w")
     got = con.execute(
@@ -268,3 +272,25 @@ def test_oracle_sql_replays_stemmer_exactly(chunk):
     ).fetchall()
     bad = [(w, sq, krovetz_lite(w)) for w, sq in got if sq != krovetz_lite(w)]
     assert not bad, f"{len(bad)} oracle/stemmer mismatches: {bad[:20]}"
+
+
+def test_join_oracle_replays_stemmer_exactly():
+    """The hash-join stem map (gate.kstem_map_ctes — what the corpus
+    gate oracle actually executes) == python krovetz_lite over the same
+    word set, with stopwords mapped to '' position slots."""
+    from searchengine_spark.analyzer import LUCENE_STOPWORDS
+    from searchengine_spark.gate import kstem_map_ctes
+
+    words = _oracle_words()
+    con = duckdb.connect()
+    got = con.execute(
+        f"WITH vocab AS (SELECT unnest(?) AS w), {kstem_map_ctes('vocab')} "
+        f"SELECT w, kt FROM kstems",
+        [words],
+    ).fetchall()
+
+    def expect(w: str) -> str:
+        return "" if w in LUCENE_STOPWORDS else krovetz_lite(w)
+
+    bad = [(w, kt, expect(w)) for w, kt in got if kt != expect(w)]
+    assert not bad, f"{len(bad)} join-oracle/stemmer mismatches: {bad[:20]}"

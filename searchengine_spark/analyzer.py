@@ -41,14 +41,16 @@ LUCENE_STOPWORDS = frozenset(
 # entry) BEFORE any suffix rule fires, and every suffix step checks
 # candidate stems against the lexicon before falling back to spelling
 # heuristics. This module implements that full multi-step algorithm
-# with an embedded HEAD lexicon (~700 high-frequency entries) instead
-# of the complete ~30k KStemData tables (not shippable here): for
-# lexicon words and their regular inflections the behavior is
-# dictionary-exact; for out-of-lexicon words the documented heuristic
-# fallbacks apply. Both tables are replayed verbatim in the DuckDB
-# oracle (gate._kstem_sql builds its CASE arms from THESE — single
-# source of truth), and >=1k input->output pairs are pinned in
-# tests/test_kstem_golden.py.
+# with an embedded HEAD lexicon (~4,000 entries: high-frequency base
+# forms plus every -s/-se/-ze/-che/-ed/-ing-final lemma the suffix
+# rules would otherwise truncate) instead of the complete ~30k
+# KStemData tables (not shippable here): for lexicon words and their
+# regular inflections the behavior is dictionary-exact; for
+# out-of-lexicon words the documented heuristic fallbacks apply. Both
+# tables are replayed verbatim in the DuckDB oracle (gate builds BOTH
+# the scalar CASE `_kstem_sql` and the hash-join stem map
+# `kstem_map_ctes` from THESE — single source of truth), and >=6k
+# input->output pairs are pinned in tests/test_kstem_golden.py.
 
 # Direct conflations: irregular morphology the rules cannot derive
 # (KStem resolves these through dictionary entries).
@@ -161,6 +163,296 @@ village visit visitor voice vote wait walk wall want warm warn wash watch
 water wave wear wedding week weigh welcome wheel whereas wicked width
 window wing winter wish wolf wonder word work worker worry wrap write
 writer yard year yell zip
+abacus ability able about above absent absorb abstract absurd abundant abuse
+academic academy accept acclaim accompany accuse accustom ache acquire acre
+across activity actress acute adapt adequate adjust admire adulteress
+adverse advise aesthetic afraid africa again against agency agenda
+aggressive agile aisle albeit album algorithm alien align alike alive alley
+allocate almond almost alone along aloof already altar although alumnus
+amass amaze ambitious amend america amidst among amongst amplify analyze
+anchor ancient angle angry ankle anniversary annoy annual anonymous anthem
+anticipate anxiety anxious anybody anyone anywhere apart apartment apologize
+apparatus apparent appeal apple appoint appreciate appropriate approve april
+apron apt arch arena arid around arouse array arrow arthritis artificial
+asbestos ashamed asia aside asleep asparagus aspect assault assemble assert
+asset assign associate assume assure athlete athletic atom atomic attic
+attract attractive attribute auction audible audience audit august author
+authoress authority authorize automatic avatar avenue average await awake
+aware away awful awkward axis bacon badge bag bake bakery bald ball balloon
+ballot bamboo banana band banner bar bare bark barn baroness barracks barrel
+barren basement bash basic basin basket bat batch battery battle bay beach
+bead beak beam bean beard beast beautiful beautify beaver because become bee
+beef beetle before behalf behind bell bellows belong below belt bench bend
+beneath benefit berry beside bet betray between beverage beyond bicycle bid
+bill billiards bin biography biscuit bishop bite bitter bizarre black blade
+blame bland blank blanket blaze bleak blend bless blind blog blond bloom
+blossom blouse blue blunt blur boast bogus bold bolt bond bonnet bonus boom
+border boss bounce boundary bounty bouquet bow bowl brace bracelet brain
+brass brave breach breeze bribe brief brigade bright brilliant brim brink
+broad broadcast bronchitis bronze brood broom brow brown browse browser
+brutal bubble bucket buckle bud budget buffalo bulb bull bullet bully bundle
+bunker burden bureau burrow burst bury bush busy butler butter butterfly
+button bypass byte cabin cabinet cable cache cactus cage cake calculate calf
+calorie camel campaign canal candle cannon canoe canvass canyon cap capable
+cape capital captain capture carbon carcass careful careless caress cargo
+carpet carrot cart carton cartoon carve cascade cash casket cast casual
+category cattle caution cautious cavalry cease cedar celebrate celebrity
+cellar cement cemetery ceremony certain certify chalk chamber channel chapel
+chapter charcoal chariot charity charm chassis cheap cheat checkers cheerful
+cheese chef chemistry cherry chest chew chicken chief chilly chimney chin
+chip chocolate choir chop chord chorus chronic churn cigar cinema circuit
+circulate circus citizen civic civil clan clarify clash classic clause claw
+clay clench clever cliff climate cling clip cloak cloth clown clue clumsy
+cluster clutch coal coarse coat cobweb cocoa coconut coexist coffin
+cognitive coherent coil coin cold collaborate collapse collar colonial
+colony colorful column comb combat combine comet comic commend commerce
+committee common communicate community compact compass compete compile
+compiler complain complex comply compose comprehensive compress compute
+conceive concentrate concert concise conclude concrete cone confident
+configure conform confront confuse congress conquer conscience conscious
+consent conservative conserve considerable consistent console constant
+construct consult consume contact contemporary contend content continent
+continuous contour contribute controversy convenient converse convert convey
+convince cookie cool cooperate coordinate cope copper coral cord cordial
+core cork corporate corpse corpus correspond corridor corrupt cosmos costly
+costume cottage cotton couch cough could council counsel counter countess
+countless county courage courtyard cozy crab crack cradle craft cram cramp
+crane crate crater crayon crazy creak cream creature creep crevice crew crib
+cricket crime crimson cringe crisp critical criticize crossroads crouch
+crown crucial crucify crude cruel cruise crumb crunch crust crystal cube
+cucumber cuff cultivate culture cumulative cupboard curb curious curl
+currency current curse curtain curve cushion custard customer cutlass
+cynical cypress daily dairy daisy dam damage damp damsel dangerous dark
+darkness dart dash database dawn dead deaf dear debris decay deceive
+december decent deck decline decorate decrease dedicate deem deep deer
+defeat defend defense defiant definite defy delay delegate delete deliberate
+delicate delicious delight delivery democracy demon demonstrate den denim
+denote dense density dental dentist depart dependent deposit depot depth
+deputy derive descend deserve designate desire despair desperate destiny
+detach detail detective deter devote devour dew diabetes diagram dial
+diameter diamond diary dice dictate dictionary differ difficulty dig digital
+dignify diligent dilute dim dime dinner dip diplomatic dire dirt dirty
+disappear disappoint disc discard discern discount discovery discus
+dishearten disk dismiss disobey dispatch display dispose dispute disrupt
+dissent dissolve distant distinct distort distract distress distribute ditch
+dive diverse divine dizzy dock doctrine dodge dome domestic dominant
+dominate domino donate donkey dormant dot double dough dove down download
+downstairs dozen dragon drain drape drastic draw drawer dread drench drift
+drill droplet drought drown dual dubious duchess duck duke dull dumb durable
+duress dusk dust dwell dynamic dynasty eagle ear early earnest earthquake
+easel east eastern easy eclipse economic economy edify educate eel
+efficient eject elaborate elastic elbow elder electric elegant elephant
+eligible eliminate eloquent email embargo embark embarrass embassy emblem
+embody embrace emerge emergency eminent emit emotional emperor emphasize
+empire empirical empress emptiness enable enact enchant enchantress
+encounter endorse endure enforce engineer engulf enhance enlarge enlist
+enormous enrich enroll ensure entail entire entitle entity entrance entrust
+entry envelope epic equator equip equivalent era erase erode errand erupt
+escalate essay essential estate estimate eternal ether ethical ethnic ethos
+europe evaluate even ever every everybody everyone everywhere evident evil
+evolve exact exaggerate exalt exam excel excellent exclude execute exert
+exhale exhaust exhibit exit exotic expel expensive expire explicit explode
+exploit external extinct extract extreme eyeglass fabric facade facility
+faculty fade faint fairly falcon false falsify famous fang fantasy fare
+fascinate fatal feasible feather february federal fee feeble fence fern
+ferryboat fertile fetch fever fiber fiberglass fierce fifteen fifty fig
+filter fin final finance financial fine finger fiscal fist fitness flag
+flake flame flank flannel flap flask flat flaunt fleet flesh flexible flinch
+fling flint flock flop flour fluent fluid flush flute foam focus fog folder
+folk fond foolish forbid foreign foresee forfeit fork formal former fort
+fortify fortress fortune forty forum fossil foul fountain four fowl fox
+fragile fragment frail frame frank frantic freight frequency frequent friday
+friendly frigid fringe frog frontier frost frown frugal fruit fuel fulfill
+full fundamental funnel funny fur furious furnace furnish further
+furthermore fury fuse future gadget gala galaxy gallery gallon gallows gang
+gap garage garment garnish gasoline gear gel gem general generate generic
+generous genetic genius gentle genuine geography geometry germ giant gift
+gigabyte gigantic ginger giraffe glacier glad gland glide glimpse global
+globe gloomy glorify glory glove glow glue gnaw goat goddess goggles gold
+golden good goodness goose gorge gorgeous gospel governess gown grace
+graceful gradual graduate grain gram grand granite grape grate gratify grave
+gravel gravity gravy gray graze grease great green greet grid grief grill
+grim grip groan grocery gross grove growl grunt guarantee guild guilty
+guitar gulf gull gush gutter habit hail hall halt hammer hamper handsome
+handy happy harass harbor hard hardware hare harness harp harsh harvest
+hashtag hatch haunt hawk hay hazard haze headache headset healthy heavy
+hectic hedge heed heiress helmet hen henceforth herd hermit herpes hesitate
+hidden hierarchy high hinder hinge hire hiss history hitherto hive hockey
+hog hoist hollow holy home honest honey honk hood hoof hook hop horizon
+horizontal horn horrify hose hostess hostile hound hover however howl huge
+hull hum human humble humid hungry huntress hurl hut hybrid hymn iceberg
+icon ideal identity idle idol igloo illness illustrate image imitate immense
+immigrate imminent immune imperial implicit imply impulse incense inch
+incline incorporate index indoors indulge inevitable infant infantry
+infinite informal inhale inherent initial initiate injury ink inlet inn
+innate inner innocent inquire insect insert inside inspect inspire instance
+instead institute instrument insult intact integrate intense intensify
+interact intercept interfere internal internet interpret interrupt intimate
+into intricate introduce intrude invade inventory invert investigate
+invisible invoke iris iron irony isolate itself ivory jacket jail jam
+january jar jaw jealous jelly jest jewel joint joke jolly jolt jot journal
+journey joyful jug juice july june jungle junior junk jury justice juvenile
+keen keg kennel kernel kerosene kettle keyboard kid kidney kind kindness
+kiosk kite kitten knee kneel knight knob knock knot kudos label laboratory
+lace lack ladder lady lag lake lame lament lantern lap lapel lapse laptop
+large larva laser lash latch late latent lateral laundress lava lavish lawn
+layer laziness lazy leaflet leak leap lease least ledge legacy legal legend
+legitimate lemon lend length lenient leopard less lethal lever leverage levy
+lexicon liable liberal liberty library license lick lid ligament likely
+likewise limb lime limestone limp linear linen linger lioness lip liquid
+literal literate litre little lively liver lizard lobby lobster local lodge
+loft log logical login logos logout loneliness lonely loom loop loose lord
+lorry lose lottery lotus loud lounge low loyal loyalty lucid lucky lumber
+lump lunar lung lurk lush luxury lyric mad madness magnet magnetic magnify
+maid maintain major majority mammal mandatory mango manifest manipulate
+mansion mantle manual manuscript many maple marble margin marine marsh mask
+massive mast mat mate mattress mature maybe maze meadow meager meal mean
+meanwhile measles medal mediate medical medieval megabyte mellow melody
+melon memo memorize memory mend mental mentor menu mercy mere mermaid mesh
+message messy meteor method midst might mightiness migrate mild mile
+military mill mimic mineral minimal minimize ministry minor minority mint
+minus miracle mirror misery mist mistake mistress moan moat mob mobile
+mobilize mock mode modem moderate modern modest moist molasses mold mole
+monarch monastery monday monitor monk monkey monopoly monster monument mood
+mop moral moreover morsel mortal mosaic mosque mosquito moss motel moth
+motion motivate motive motor motto mound mourn mouth mow much mud mug mule
+mumps mundane municipal mural murderess museum mushroom musket must mustache
+mustard muster mutton mutual myself mysterious mystery mystify myth nail
+naive nap napkin narrow nasty national native naval navigate near neat neck
+needle negative negotiate neither nephew nervous nest net network neutral
+never nevertheless nice niche nickel niece nimble noble nobody node nominate
+none nonetheless nonsense noon normal north northern notable notch notebook
+notion notorious notwithstanding november nowhere nozzle nuclear nucleus
+nudge nugget nullify numb numerous nun nursery nut oak oar oasis oath
+oatmeal obedient obese obey obligate oblique oblong obscure obsess obsolete
+obvious october odd odor offend offense official offline often omit once
+onion online only onto ooze openness opera opportunity optimal optimize oral
+orange orbit orchard orchestra orchestrate ordinary organ organic original
+ornament ornate orphan orthodox ostrich other otherwise otter ought ounce
+ourselves outdoors outer outfit outlet outline outside oval over overall
+overcome overhaul overlap overpass overseas oversee overt overturn owl owner
+ox oxygen oyster pace pacify pad paddle pail painful pale palm panel panic
+pant panther pants parade parallel parcel pardon parish parlor parrot parry
+parser parsley partial participate particular passive password paste pasture
+patch pathos patient pea peach peak peanut pear pearl peasant pebble peck
+peculiar pedal peel peg pelvis penalty pension pepper perceive perch perfect
+perfume peril perish permanent perpetual persist persistent personal
+personality personify persuade pest pet petal petty pew phase philosophy
+physical piano pierce pigeon pile pillar pillow pinch pine pink pint pious
+pipe pipeline pistol piston pit pitcher pity pivotal pixel plain plane
+planet plank plaster plate platform platter plausible playlist plaza
+pleasant pledge plight plod plot pluck plum plumber plump plunge pocket pod
+podcast poetess poetry poke polar polish polite political polygon pond
+ponder pony poor popular populate porch pork portable porter portion
+portrait pose positive possess possible post pot potent potential pouch
+poultry pounce pout powder powerful pragmatic prairie praise preach precede
+precious precise pregnant premier prescribe pressure prestigious presume
+pretty previous prey prick pride priest priestess primary prime primitive
+principal printer prior prioritize priority pristine privacy private prize
+probable probe proclaim prod productive profess profile profound prolong
+prominent prompt prone pronounce prop proper property prophecy prophesy
+prophet prose prosper proud prowl prudent pry public pulpit pulse punctual
+pupil puppet pure purify purple purr purse pursue puzzle pyramid quaint
+qualitative quality quantify quantitative quantity quarry quart quarter
+quartz quench quest queue quick quiet quill quilt quit quite quiver quote
+rabbit rabies raccoon rack radar radiant radical radius raft rag rage rail
+rainbow rally ram ramp rampant ranch random ransack rant rap rapid rare
+raspberry rat rather ratify rational rattle ravage ravine raw razor react
+ready reality really realm reap rear reassure rebel rebuild recall recent
+recess recite reckless reckon reconcile recount recover recovery recreate
+rectangular rectify recycle redeem redefine reef reek refine refinery
+refrain refresh refund regain regal regional regress regular regulate reign
+rein reinforce rejoice relative relevant reliable relic relocate remedy
+remit remnant remodel remote rename render renew repay repel repress reprint
+reproduce reptile reschedule resemble resent reside residue resign resin
+resist responsibility restore restrict resume retain retort retreat retrieve
+reuse reveal reverse revert revise revoke revolt ribbon rice ride ridge
+ridicule rifle rig rigid rim rind rinse riot rip ripe ripple rise rite
+ritual rival roam roast rob robbery robe robot robust rocket rod rogue
+romantic rooster root rot rotate rotten rough round router row royal rubble
+rudder rude ruin rum rumor runtime rural rust rustic ruthless sack sacrifice
+saddle sadness saga sage saint salad salary salient salmon salon saloon
+sanctuary sane sanitary sap sapling sardine sass satchel saturday sauce
+saucer sausage scaffold scale scalp scam scanner scar scarce scare scarlet
+scene scenic scent scepter schema scheme scholar scold scoop scooter scope
+scorch scorn scour scowl scrap scrape scratch scrawl screech scroll scrub
+sculptor sculpture scythe seam seamstress seaweed secret sect sector secular
+secure security sedan seethe seize selfish seminar senator senior sensible
+sentinel september serene sergeant serious serpent servant server session
+seven seventeen seventy several severe shack shaft shake shall shallow
+shampoo shard shark sharp shatter shawl shear shed sheer shell shepherd
+shepherdess sheriff shield shin shingle shingles shiny shiver shore short
+should shovel shred shriek shrine shrink shrub shrug shun shutter shy sick
+sickle sickness side siege sieve sigh signify silent silk sill silly silver
+similar simmer simple simulate sin since sincere sinew single sinister sip
+siren sixteen sixty sizzle skeleton skeptical sketch skid skillet skim skin
+skirt skull slab slant slap slash slate slay sled sleek sleeve slender slice
+slide slight slim slope sloppy slot slow slump small smart smartphone smash
+smirk smock smooth snag snail snake snatch sneer sneeze sniff snore snort
+snug soak soar sob sober social society sock sofa soft softball software
+solar sole solemn solid solidify solitary some somebody someone somewhere
+songstress soon soothe sophisticated sorceress sore soup sour south southern
+spacious spade spam span spar spare spark sparkle sparrow sparse spawn spear
+special specific speck speculate sphere spice spicy spider spike spill spine
+spire spiritual spit splash splat spleen splendid spoil sponge spontaneous
+spoon spouse spout sprawl spreadsheet sprig sprint sprout spruce spur spurn
+spy squad squadron squat squeal squeeze squint squirrel stab stabilize
+stable stack stadium staff stain stairway stake stale stalk stall stammer
+stanza stark startle startup starve stately static statistical statue
+stature steady steak steed steep steeple steer stem sterile stern stew
+steward stewardess sticky stiff still stimulate stipulate stock stomp stool
+stoop stout straight strain strand strange strap strategic strategy stratify
+strawberry strict stride striking strip stripe stroke stroll strut stub
+stubborn stumble stump stun sturdy style stylus subscribe subsequent subsidy
+substitute subtle subtract suburb subway success succumb sudden sufficient
+suffix sugar suitable sulfur sulk sullen sully sultan sum summarize
+summary summit summon sunday sunny superb superficial superior supervise
+suppress supreme sure surf surface surge surgeon surgery surpass surplus
+surrender suspense swallow swamp swan swap swarm sway sweater swell swerve
+swift swirl sword syllable symbol sympathy symphony symptom syrup tablet
+tackle tail tailor take tale talent tall tally tame tan tangible tangle tank
+tanker tape tapestry tar tariff tarnish tarry tart tassel taunt tavern tea
+teapot tear tease technical tedious telescope temper temporary tempt
+temptress tenant tendency tender tendinitis tendon tennis tense tent
+tentative tepid terminate terrace terrible terrify territory text textile
+texture than thee theme themselves theology theorize therapy thereafter
+thereby therefore therein thereof thereupon thick thicket thickness thigh
+thin thirteen thirty thorn thorough those though thrash thread three thrive
+throb throne through throughout throw thrust thud thumb thunder thursday
+tide tidy tight tigress tile tilt timid tin tiny tired tissue toad toast toe
+together toil token tolerate toll tomb ton tone tongue tonic torch torment
+torpedo torrid torso tortoise toss total tough tournament tow toward towards
+toxic trace tractor traffic tragedy trail trait traitress tramp trample
+tranquil transact transcribe transform transfuse transmit transparent
+transplant transport transpose tray tread treasure treasury treaty trek
+tremble tremendous trench trespass triangle tribe tribute trick tricky
+trigger trilogy triumph trivial trolley troop trophy tropical trot trough
+trout truck trudge trumpet trunk tub tube tuesday tug tulip tumble tune
+tunnel turban turbine turkey turnip turpentine turret turtle tusk tutor
+tweed twelve twenty twig twilight twine twirl twitch udder ugly ultimate
+umbrella umpire uncanny under underline underlying undermine underneath
+unearth uneasy unfold uniform unify unique universal universe university
+unknown unleash unless unload unlock until unto unveil update upgrade uphold
+upland upload upon upper upright uproot upstairs urban urge urgent urn
+useful user username usher usual utility utilize utter vacancy vacant
+vaccine vagabond vague vain vale valid validate valuable valve van vanilla
+vapor variety vase vast vault vein velvet vendor venom vent venture verbal
+verge verse versus vertical very vessel vest veteran veto viable viaduct
+vibrant vibrate vice vicious victim victory vigilant vigor vigorous vile
+vilify villa vine vinegar vineyard vintage violate violent violet violin
+viper viral virtual visa visible vista visual visualize vital vitamin vivid
+vocabulary vocal void volatile volcano volume voluntary vow voyage
+vulnerable wade wafer waffle wagon wail waist waitress wand wander ward
+wardrobe warehouse warrant warranty warrior wart wary wasp waste waterfall
+watermelon waver wax weak weakness wealthy weapon weary weasel weather weave
+web webcam website wedge wednesday weed weep weird well wellness west
+western wet whale wharf whatever wheat when whenever where whereby wherein
+whereupon wherever whether which whichever while whilst whip whirl whisk
+whisker whistle white whoever whole whom whose wick wide wield wig wiki wild
+wilderness willing willow wince winch wind windmill wine wire wise withdraw
+wither within without withstand witness witty wooden worship worthy would
+wreath wreck wren wrestle wrist wrong yacht yak yank yarn yearn yeast yellow
+yield yoke yolk young yourself zag zealous zebra zero zig zombie zone zoo
 """.split())
 
 

@@ -126,6 +126,303 @@ business campus census virus class press was its king sing thing ring red
 bed""".split()
 
 
+# ---------------------------------------------------------------------------
+# Round-4 expansion: the lexicon grew ~950 -> ~4,000 entries (analyzer.py);
+# these tables extend the forward-generated goldens over the new words.
+# Same classes as above; words whose golden would collide with a
+# dictionary-first identity entry (pants, bureau, menu, shingle) are
+# lexicon-only and appear in no table.
+# ---------------------------------------------------------------------------
+
+E_VERBS2 = """abuse accuse acquire admire advise allocate amaze analyze anticipate
+apologize appreciate approve arouse assemble associate assume assure
+attribute authorize bake blame bounce brace bribe browse bundle calculate
+capture care carve cease celebrate circulate collapse combine communicate
+compete compile compose compute conceive concentrate conclude configure
+confuse conserve console consume contribute converse convince cooperate
+coordinate cope criticize cruise cultivate curse curve damage deceive decide
+decline decorate decrease dedicate delegate delete demonstrate denote derive
+deserve designate desire devote dictate dilute dispose dispute dissolve
+distribute dive dominate donate drape educate elaborate eliminate embrace
+emerge emphasize enable enforce enhance enlarge ensure entitle erase erode
+escalate estimate evaluate evolve exaggerate exclude execute exhale expire
+explode fade fascinate finance fine frame fuse generate glide glimpse grace
+graduate grate hesitate hire illustrate imitate immigrate incline
+incorporate indulge inhale initiate inquire inspire integrate interfere
+introduce intrude invade investigate invoke isolate lease leverage license
+manipulate mate mediate memorize migrate minimize mobilize motivate navigate
+negotiate nominate obligate obscure ooze optimize orchestrate outline
+participate paste perceive persuade phase pierce pledge plunge poke populate
+pose pounce praise precede pressure presume prioritize probe pronounce
+pursue quote rage recite reconcile recreate recycle redefine refine regulate
+reinforce rejoice relocate rename reproduce reschedule resemble reside
+resume retrieve reuse reverse revise revoke rinse rotate sacrifice scare
+scrape secure seize sense shape simulate sizzle slice sneeze snore soothe
+spare speculate spike squeeze stabilize stake stimulate stipulate stroke
+style subscribe substitute summarize supervise surface surge swerve tangle
+tape tease terminate theorize tolerate trace transcribe transfuse transpose
+tremble trudge tune underline undermine update upgrade urge utilize validate
+venture verge vibrate violate visualize wade waste wince wrestle""".split()
+
+D_VERBS2 = """bat chop clip cram dim dip dot equip flag flap flop fog grip hop hum jot kid
+lag map mob mop mug nap pad peg pet pit plod plot prod prop ram rap rig rip
+rob rot scam scrap scrub shred shrug shun sip skim slap slot snag sob spam
+span spar splat spur squat stab stem strap strip strut stub stun sum swap
+tan throb tip top trek trot tug whip zag zig""".split()
+
+Y_VERBS2 = """accompany amplify beautify bully bury certify clarify crucify defy dignify
+dirty edify embody falsify fortify glorify gratify horrify imply intensify
+levy lobby magnify mystify nullify pacify parry personify pity prophesy pry
+purify quantify rally ratify rectify remedy signify solidify spy steady
+stratify sully tally tarry terrify tidy unify vilify weary""".split()
+
+P_VERBS2 = """absorb accept acclaim accustom adapt adjust adopt afford align amend anchor
+annoy appeal appoint assault assert assign attract audit await bark bash
+beam belong benefit betray blend bless bloom boast bolt bond boom breach
+brood cash caution cheat chew churn clash clench cloak coexist coil comb
+combat commend complain conform confront conquer consent construct consult
+contact contend convert convey cool correspond cough counsel crack craft
+cramp creak crouch crunch curb curl dart dash dawn decay deem defeat defend
+delay delight depart deposit descend despair detach devour differ disappear
+disappoint discard discern discount dishearten dismiss disobey dispatch
+display disrupt dissent distort distract distress drain dread drench drift
+drill drown dwell eject embark enact enchant encounter engulf enlist enrich
+enroll entail entrust erupt exalt exert exhaust exhibit exploit extract
+faint fetch flank flaunt flinch fling flock flush foam forfeit fork foul
+frown fulfill furnish garnish glow gnaw greet grill groan growl grunt gush
+halt hammer hamper harvest hatch haunt heed hinder hiss hoist honk hover
+howl hurl insert inspect insult interact intercept interpret interrupt
+invert jest jolt knock lack lament lash latch leak leap lick linger loom
+lurk maintain mask mend mentor moan mock mold monitor mourn muster nail
+narrow nest numb obey obsess offend orbit overhaul overturn pardon patch
+peck peel perch perish persist pinch pluck polish ponder pout preach prick
+proclaim prolong prompt prosper prowl purr quench quiver ransack rant react
+reap recall reckon recount recover redeem reek refrain refresh refund regain
+render renew reprint resent resign resist restrict retain retort retreat
+reveal revert revolt roam roast rust scold scoop scorch scorn scour scowl
+scratch scrawl screech shatter shield shiver shriek sigh simmer sketch slant
+slash slump smash smirk snatch sneer sniff snort soak soar spawn spill
+splash spoil sprawl sprint sprout spurn squeal squint stack stalk stall
+stammer steer stomp stoop strain stroll subtract succumb sulk summon surpass
+surrender swallow swarm sway swell swirl tarnish taunt tempt thrash thrust
+thud tilt toil torment toss tow trail tramp transact transform transplant
+transport trick triumph twirl twitch unearth unfold unleash unload unlock
+unveil uproot usher utter vent vow wail wander waver whirl whisk wield
+wither witness worship wreck yank yearn yield""".split()
+
+NOUNS2 = """ache acre agenda aisle album algorithm alley almond altar angle ankle anthem
+apartment apple apron arch arena array arrow aspect asset athlete atom attic
+auction audience author avatar avenue bacon badge bag ball balloon ballot
+bamboo banana band banner bar barn barrel basement basin basket battle bay
+beach bead beak bean beard beast beaver bee beef beetle bell belt bench
+beverage bicycle bill bin biscuit bishop bite blade blanket blog blossom
+blouse bonnet bonus border bouquet bowl bracelet brain brass breeze brigade
+brim brink bronze broom brow browser bucket bud budget bulb bull bullet
+bunker burden burrow bush butler butter button byte cabin cabinet cable
+cactus cage cake calorie camel campaign canal candle cannon canoe canyon cap
+cape capital captain carbon carcass carpet carrot cart carton cartoon
+cascade casket cedar cellar cement chalk chamber channel chapel chapter
+charcoal chariot charm cheese chef chest chicken chief chimney chin chip
+chocolate choir chord chorus cigar cinema circuit citizen clan clause claw
+clay cliff climate cloth clown clue cluster clutch coal coat cobweb cocoa
+coconut coffin coin collar column comet commerce committee compass compiler
+concert concrete cone conscience continent contour cookie copper coral cord
+core cork corpse corridor costume cottage cotton couch council counter
+courage courtyard crab cradle crane crate crater crayon cream creature
+crevice crew crib cricket crime crown crumb crust crystal cube cucumber cuff
+cupboard curtain cushion custard customer dam damsel database deck defense
+demon den denim dentist depot depth detail detective dew diagram dial
+diameter diamond dime dinner dirt disc disk ditch dock doctrine dome donkey
+dough dove download dozen dragon drawer droplet drought duck duke dusk dust
+eagle ear earthquake easel eclipse eel elbow elephant email emblem emperor
+empire engineer entrance envelope equator era errand essay estate ether exam
+exit fabric falcon fang fare feather fee fence fern fever fiber fig filter
+fin finger fist flake flame flannel flask fleet flesh flint flour flute
+folder fort fortress fortune forum fossil fountain fowl fox fragment freight
+fringe frog frontier frost fruit fuel funnel fur furnace gadget gala gallon
+gang gap garage garment gear gem general germ giant gift gigabyte ginger
+giraffe glacier gland globe glove glue goat gold gorge gospel gown grain
+gram granite grape gravel grease grid grief grove guild guitar gulf gull
+gutter habit hail hall harbor hardware hare harness harp hashtag hawk hay
+hazard haze headache headset hedge helmet hen herd hermit hinge hive hockey
+hog home honey hood hoof hook horizon horn hose hound hull hut hymn iceberg
+icon idol igloo image impulse incense inch infant ink inlet inn insect
+instance institute instrument internet iron jacket jail jar jaw jewel joint
+joke journal journey jug juice jungle junior junk justice keg kennel kernel
+kettle keyboard kidney kiosk kite kitten knee knight knob knot label lace
+ladder lake lantern lap lapel lapse laptop laser lava lawn layer leaflet
+ledge legend lemon length leopard lever lexicon lid ligament limb lime
+limestone linen lip liquid liver lizard lobster lodge loft log login logout
+loop lord lotus lumber lump lung lyric magnet maid mammal mansion mantle
+manual manuscript maple marble margin marsh mast mat mattress maze meadow
+meal medal megabyte melon mermaid mesh message meteor method midst mile mill
+mineral mint miracle mirror mist moat mode modem mole monarch monk monkey
+monster monument mood morsel mosaic mosque moss motel moth motion motive
+motor mound mouth mud mule mural museum mushroom musket mustache mustard
+mutton myth napkin neck needle nephew network niche nickel niece node
+nonsense noon north notch notebook notion nozzle nugget nun nut oak oar oath
+oatmeal odor offense onion opera orange orchard orchestra organ ornament
+orphan ostrich otter ounce outfit outlet oval owl owner oxygen oyster pace
+paddle pail palm panel panic panther parade parcel parish parlor parrot
+parser parsley password pasture pea peach peak peanut pear pearl peasant
+pebble pedal pension pepper perfume peril pest petal pew pigeon pile pillar
+pillow pine pint pipe pistol piston pitcher pixel plain plane planet plank
+plaster plate platform platter playlist plaza plight plum plumber pocket pod
+podcast polygon pond porch pork porter portion portrait post pot pouch
+powder prairie prey pride priest printer prize profile prophet prose pulpit
+pulse pupil puppet purse puzzle pyramid quart quarter quartz quest queue
+quill quilt rabbit raccoon rack radar raft rag rail rainbow ramp rat ravine
+razor realm rear reef reign rein relic remnant reptile residue resin ribbon
+rice ridge rifle rim rind riot ripple rite ritual rival robe robot rocket
+rod rogue rooster root router rubble rudder ruin rum rumor runtime sack
+saddle saga sage saint salad salmon salon saloon sap sapling sardine satchel
+sauce saucer sausage scaffold scale scalp scanner scar scarlet scene scent
+scepter schema scheme scholar scooter scope scroll sculptor sculpture scythe
+seam seaweed sect sector sedan seminar senator sentinel sergeant serpent
+servant server session shack shaft shampoo shard shark shawl shear shell
+shepherd sheriff shin shore shovel shrine shrub shutter sickle siege sieve
+silk sill silver sin sinew siren skeleton skillet skin skirt skull slab
+slate sled sleeve slope smartphone smock snail snake sock sofa software soup
+spade spark sparrow spear speck sphere spice spider spine spire spleen
+sponge spoon spouse spout spreadsheet sprig spruce squad squadron squirrel
+stable stadium staff stain stairway stanza startup statue stature steak
+steed steeple stern stew steward stock stool strand stripe stump suburb
+subway suffix sugar sulfur sultan summit surf surgeon suspense swamp
+swan sweater sword syllable symbol symptom syrup tablet tail tailor tale
+talent tank tanker tar tariff tart tassel tavern tea teapot tear telescope
+temper tenant tendon tent terrace text textile texture theme thicket thigh
+thorn thread throne thumb thunder tide tile tin tissue toad toast toe toll
+tomb ton tone tongue tonic torch torso tortoise tournament tractor traffic
+trait tray treasure trench triangle tribe trolley troop trough trout truck
+trumpet trunk tub tube tulip tunnel turban turbine turkey turnip turret
+turtle tusk tutor tweed twig twilight twine udder umbrella umpire uniform
+universe upload urn user username vaccine vagabond vale valve van vanilla
+vapor vase vault vein velvet vendor venom verse vessel vest veteran viaduct
+vice victim vigor villa vine vinegar vineyard violet violin viper visa vista
+vitamin volume voyage wafer waffle wagon waist wand ward wardrobe warehouse
+warrant warrior wart wasp waterfall watermelon wax weapon weasel weather web
+webcam website wedge weed whale wheat whisker whistle wick wig wiki willow
+winch windmill wine wire wreath wren wrist yacht yak yarn yeast yoke yolk
+zebra zombie zone zoo""".split()
+
+Y_NOUNS = """ability academy activity agency anniversary anxiety authority bakery battery
+biography boundary bounty butterfly category cavalry celebrity ceremony
+charity chemistry colony community controversy county currency delivery
+democracy density destiny dictionary difficulty discovery dynasty economy
+embassy emergency entity entry facility faculty fantasy frequency galaxy
+gallery geography geometry glory gravity grocery hierarchy history infantry
+injury inventory irony ivory jury laboratory lady legacy liberty library
+lottery loyalty luxury majority melody memory mercy ministry minority misery
+monastery monopoly mystery nursery opportunity penalty personality
+philosophy poetry priority privacy property prophecy quality quantity
+raspberry reality recovery refinery responsibility robbery salary sanctuary
+security seventy sixty society strategy strawberry subsidy summary surgery
+sympathy symphony tapestry tendency territory theology therapy tragedy
+treasury trilogy trophy university utility vacancy variety victory warranty""".split()
+
+ES_NOUNS2 = """buffalo cargo domino embargo mango mosquito torpedo veto volcano""".split()
+
+IDENTITY2 = """abacus able about above absent abstract absurd abundant academic across
+actress acute adequate adulteress adverse aesthetic afraid africa again
+against aggressive agile albeit alien alike alive almost alone along aloof
+already although alumnus amass ambitious america amidst among amongst
+ancient angry annual anonymous anxious anybody anyone anywhere apart
+apparatus apparent appropriate april apt arid around arthritis artificial
+asbestos ashamed asia aside asleep asparagus athletic atomic attractive
+audible august authoress automatic average awake aware away awful awkward
+axis bald bare baroness barracks barren basic beautiful because become
+before behalf behind bellows below beneath beside between beyond billiards
+bitter bizarre black bland blank bleak blind blond blue blunt bogus bold
+bonus boss brave brief bright brilliant broad bronchitis brown brutal busy
+bypass cactus canvass capable carcass careful careless caress casual
+cautious certain chassis cheap checkers cheerful chilly chorus chronic
+circus civic civil classic clever clumsy coarse cognitive coherent cold
+colonial colorful comic common compact compass complex comprehensive
+compress concise confident conscious conservative considerable consistent
+constant contemporary content continuous convenient cordial corporate
+corrupt cosmos costly could countess countless cozy crazy crisp critical
+crucial crude cruel cumulative curious current cutlass cynical cypress daily
+damp dangerous dark darkness dead deaf dear debris december decent deep
+defiant definite deliberate delicate delicious dense dental dependent
+desperate diabetes digital diligent diplomatic dire discus distant distinct
+distress diverse divine dizzy domestic dominant dormant double down
+downstairs drastic dress dual dubious duchess dull dumb durable duress
+dynamic early earnest east eastern easy economic efficient elastic elder
+electric elegant eligible eloquent embarrass eminent emotional empirical
+empress emptiness enchantress enormous entire epic equivalent essential
+eternal ethical ethnic ethos europe even ever every everybody everyone
+everywhere evident evil exact excellent exotic expensive explicit express
+external extinct extreme eyeglass fairly false famous fatal feasible
+february federal feeble fertile fiberglass fierce fifteen fifty final
+financial fiscal fitness flat flexible fluent fluid fond foolish foreign
+formal former fortress forty four fragile frail frank frantic frequent
+friday friendly frigid frugal full fundamental funny furious further
+furthermore future gallows generic generous genetic genius gentle genuine
+gigantic glad global gloomy goddess golden good goodness gorgeous governess
+graceful gradual grand grave gray great green grim gross guilty handsome
+handy happy harass hard harness harsh healthy heavy hectic heiress
+henceforth herpes hidden high hitherto hollow holy honest horizontal hostess
+hostile however huge human humble humid hungry huntress hybrid ideal idle
+illness immense imminent immune imperial implicit inevitable infinite
+informal inherent initial innate inner innocent inside instead intact
+intense internal intimate into intricate invisible iris itself january jolly
+joyful july june juvenile keen kind kindness kudos lame large late latent
+lateral laundress lavish laziness lazy least legal legitimate lenient less
+lethal liable liberal likely likewise limp linear lioness literal little
+lively local logical loneliness lonely loose loud low loyal lucid lucky
+lunar lush mad madness magnetic main major mandatory manifest many marine
+massive mattress mature maybe meager mean meanwhile measles medical medieval
+mellow mental mere messy might mightiness mild military minimal minor minus
+mistress mobile moderate modern modest moist molasses monday moral moreover
+mortal much mumps mundane municipal murderess must mutual myself mysterious
+naive nasty national native naval near neat negative neither nervous neutral
+never nevertheless nice nimble noble none nonetheless normal northern
+notable notorious notwithstanding november nowhere nuclear nucleus numerous
+obedient obese oblique oblong obsolete obvious october odd official offline
+often once online onto openness optimal oral ordinary organic original
+ornate orthodox other otherwise ought ourselves outer outside over overall
+overpass overseas overt painful pale parallel partial particular passive
+pathos patient peculiar pelvis perfect permanent perpetual persistent
+personal petty physical pink pious pivotal plausible pleasant plump poetess
+polar polite political poor popular portable positive possess possible
+potent potential powerful pragmatic precious precise pregnant premier
+prestigious pretty previous priestess primary prime primitive principal
+prior pristine private probable productive profess profound prominent prone
+proper proud prudent public punctual pure purple quaint qualitative
+quantitative quick quiet quite rabies radiant radical radius rampant random
+rapid rare rather rational raw ready really recent recess reckless
+rectangular regal regional regress regular relative relevant reliable remote
+repress rigid ripe robust romantic rotten rough round royal rural rustic
+ruthless sadness salient sane sanitary sass saturday scarce scenic
+seamstress secret secular selfish senior sensible september serene serious
+seven seventeen several severe shall shallow sharp sheer shepherdess shiny
+short should shy sick sickness silent silly similar simple since sincere
+single sinister sixteen skeptical sleek slender slight slim sloppy slow
+small smart smooth snug sober social soft solar sole solemn solid solitary
+some somebody someone somewhere songstress soon sophisticated sorceress sore
+sour south southern spacious sparse special specific spicy spiritual
+splendid spontaneous stale stark stately static statistical steep sterile
+stewardess sticky stiff still stout straight strange strategic stress strict
+striking stubborn sturdy stylus subsequent subtle success sudden sufficient
+suitable sullen sunday sunny superb superficial superior suppress supreme
+sure surplus swift tall tame tangible technical tedious temporary temptress
+tender tendinitis tennis tense tentative tepid terrible than thee themselves
+thereafter thereby therefore therein thereof thereupon thick thickness thin
+thirteen thirty thorough those though three through throughout thursday
+tight tigress timid tiny tired together torrid total tough toward towards
+toxic traitress tranquil transparent tremendous trespass tricky trivial
+tropical tuesday twelve twenty ugly ultimate uncanny under underlying
+underneath uneasy unique universal unknown unless until unto upon upper
+upright upstairs urban urgent useful usual vacant vague vain valid valuable
+vast verbal versus vertical very viable vibrant vicious vigilant vigorous
+vile vintage violent viral virtual visible visual vital vivid vocal void
+volatile voluntary vulnerable waitress wary weak weakness wealthy wednesday
+weird wellness west western wet whatever when whenever where whereby wherein
+whereupon wherever whether which whichever while whilst white whoever whole
+whom whose wide wild wilderness willing wise within without witness witty
+wooden worthy would wrong yellow young yourself zealous""".split()
+
+
 def _plural(base: str, cls: str) -> str:
     if cls == "y":
         return base[:-1] + "ies"
@@ -154,33 +451,35 @@ def _gerund(base: str, cls: str) -> str:
 
 def _build_golden() -> dict:
     golden: dict[str, str] = {}
-    for base in E_VERBS:
+    for base in E_VERBS + E_VERBS2:
         golden[_plural(base, "e")] = base
         golden[_past(base, "e")] = base
         golden[_gerund(base, "e")] = base
-    for base in D_VERBS:
+    for base in D_VERBS + D_VERBS2:
         golden[_plural(base, "d")] = base
         golden[_past(base, "d")] = base
         golden[_gerund(base, "d")] = base
     for base in SI_VERBS:
         golden[_plural(base, "d")] = base
         golden[_gerund(base, "d")] = base
-    for base in Y_VERBS:
+    for base in Y_VERBS + Y_VERBS2:
         golden[_plural(base, "y")] = base
         golden[_past(base, "y")] = base
         golden[_gerund(base, "y")] = base
-    for base in P_VERBS:
+    for base in P_VERBS + P_VERBS2:
         golden[_plural(base, "p")] = base
         golden[_past(base, "p")] = base
         golden[_gerund(base, "p")] = base
     for base in P_VERBS_NO_ING:
         golden[_plural(base, "p")] = base
         golden[_past(base, "p")] = base
-    for base in NOUNS:
+    for base in NOUNS + NOUNS2:
         golden[_plural(base, "p")] = base
-    for base in ES_NOUNS:
+    for base in ES_NOUNS + ES_NOUNS2:
         golden[_plural(base, "es")] = base
-    for w in IDENTITY:
+    for base in Y_NOUNS:
+        golden[_plural(base, "y")] = base
+    for w in IDENTITY + IDENTITY2:
         golden[w] = w
     # every direct conflation is itself a golden pair
     golden.update(KSTEM_EXCEPTIONS)
@@ -207,11 +506,18 @@ DIVERGES = {
     "leaves": ("leave", "noun reading 'leaf' vs verb 'leave' — same"),
     "does": ("doe", "verb reading 'do' vs noun 'doe' — same"),
     "training": ("train", "KStemData may lexicalize the noun 'training' (identity)"),
+    # dictionary-first identity entries that beat an inflection reading
+    "pants": ("pants", "noun entry wins over pant+s (KStem has both; entry-priority)"),
+    "bureaus": ("bureaus", "-us identity rule fires before the lexicon probe"),
+    "menus": ("menus", "-us identity rule fires before the lexicon probe"),
+    # head-lexicon omission ON PURPOSE: with 'suite' present the s1 probe
+    # would take suited/suiting -> suite; we keep the commoner verb
+    "suites": ("suit", "s2 probe conflates to 'suit'; real KStem keeps 'suite'"),
 }
 
 
 def test_golden_pairs():
-    assert len(GOLDEN) >= 1000, f"only {len(GOLDEN)} golden pairs"
+    assert len(GOLDEN) >= 3000, f"only {len(GOLDEN)} golden pairs"
     bad = {w: (krovetz_lite(w), want) for w, want in GOLDEN.items()
            if krovetz_lite(w) != want}
     assert not bad, f"{len(bad)} golden KStem pairs broken: {dict(list(bad.items())[:25])}"
@@ -222,7 +528,8 @@ def test_all_bases_in_lexicon():
     every base word must be a lexicon entry (single source of truth)."""
     bases = set(
         E_VERBS + D_VERBS + SI_VERBS + Y_VERBS + P_VERBS + P_VERBS_NO_ING
-        + NOUNS + ES_NOUNS + IDENTITY
+        + NOUNS + ES_NOUNS + IDENTITY + E_VERBS2 + D_VERBS2 + Y_VERBS2
+        + P_VERBS2 + NOUNS2 + Y_NOUNS + ES_NOUNS2 + IDENTITY2
     )
     missing = sorted(b for b in bases if len(b) > 3 and b not in KSTEM_LEXICON)
     assert not missing, f"bases missing from KSTEM_LEXICON: {missing}"

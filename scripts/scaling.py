@@ -6,6 +6,14 @@ No real cluster exists in this sandbox, so the same job runs at two
   python scripts/scaling.py            # parent: runs child at 8 and 32
   python scripts/scaling.py --child 8  # one measured run
 
+Each measured child is launched exactly the way the north rule says the
+job runs on a real cluster: ``spark-submit --master local[N]
+--py-files searchengine_spark.zip scripts/scaling.py --child N`` — the
+library is imported from the zip (asserted; ``pkg_file`` in the child
+result is the evidence), not from the repo checkout. Set
+``SCALING_SUBMIT=0`` to fall back to plain ``python`` children (e.g. if
+no Spark distribution is on PATH).
+
 Measured job: full inverted-index build (tokenize -> postings ->
 varbyte encode -> stats) over a deterministic synthetic page corpus,
 plus a BM25 query batch. Reports docs/sec at each level and
@@ -16,17 +24,30 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO)
+if os.environ.get("SCALING_VIA_SUBMIT") != "1":
+    sys.path.insert(0, REPO)
+# under spark-submit the package must resolve via --py-files (the zip is
+# prepended to sys.path by spark-submit itself); importing the checkout
+# would make the --py-files claim hollow, so the insert above is skipped.
 
 N_PAGES = int(os.environ.get("SCALING_PAGES", "60000"))
 
 
 def child(cores: int) -> None:
+    import searchengine_spark
+
+    pkg_file = os.path.abspath(searchengine_spark.__file__)
+    if os.environ.get("SCALING_VIA_SUBMIT") == "1":
+        assert ".zip" in pkg_file, (
+            f"child was launched via spark-submit --py-files but imported "
+            f"the package from {pkg_file}, not the zip"
+        )
     from searchengine_spark.corpus import extract_fields, make_pages
     from searchengine_spark.engine import SearchEngine
     from searchengine_spark.index.build import assign_doc_ids, build_index
@@ -77,9 +98,42 @@ def child(cores: int) -> None:
                 "n_postings": int(n_post),
                 "query_batch_sec": round(query_sec, 3),
                 "run_batch_fused_sec": round(batch_sec, 3),
+                "pkg_file": pkg_file,
+                "launched_via": (
+                    "spark-submit --py-files"
+                    if os.environ.get("SCALING_VIA_SUBMIT") == "1"
+                    else "python"
+                ),
             }
         )
     )
+
+
+def _child_cmd(cores: int) -> tuple[list[str], dict[str, str]]:
+    """spark-submit --py-files when a Spark distribution is available
+    (the north rule's literal launch mode); plain python otherwise."""
+    env = dict(os.environ)
+    submit = shutil.which("spark-submit") if env.get("SCALING_SUBMIT", "1") == "1" else None
+    if not submit:
+        env.pop("SCALING_VIA_SUBMIT", None)
+        return [sys.executable, os.path.abspath(__file__), "--child", str(cores)], env
+    zip_path = os.path.join(REPO, "searchengine_spark.zip")
+    # always rebuild: a stale zip would silently measure old code
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "make_pyfiles.py"), zip_path],
+        check=True, cwd=REPO,
+    )
+    env["SCALING_VIA_SUBMIT"] = "1"
+    # children import the library from the zip, never the checkout
+    env.pop("PYTHONPATH", None)
+    return [
+        submit,
+        "--master", f"local[{cores}]",
+        "--driver-memory", env.get("SPARK_DRIVER_MEM", "32g"),
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", zip_path,
+        os.path.abspath(__file__), "--child", str(cores),
+    ], env
 
 
 def parent() -> None:
@@ -92,9 +146,10 @@ def parent() -> None:
     runs: dict[int, list] = {c: [] for c in levels}
     for _ in range(trials):
         for cores in levels:
+            cmd, env = _child_cmd(cores)
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child", str(cores)],
-                capture_output=True, text=True, cwd=REPO, timeout=1800,
+                cmd, capture_output=True, text=True, cwd="/tmp", env=env,
+                timeout=3600,
             )
             line = [l for l in out.stdout.splitlines() if l.startswith("CHILD_RESULT ")]
             if not line:
@@ -111,6 +166,8 @@ def parent() -> None:
         "n_pages": N_PAGES,
         "levels": levels,
         "trials_per_level": trials,
+        "launched_via": best[hi].get("launched_via", "python"),
+        "pkg_file": best[hi].get("pkg_file", ""),
         "all_runs": runs,
         f"best_local{lo}": best[lo],
         f"best_local{hi}": best[hi],

@@ -1126,6 +1126,53 @@ WHERE rank <= {k} ORDER BY query_id, rank
 """
 
 
+def ann_ivf_sql(
+    query_ids: list[int], k: int, n_cells: int = 16, n_probe: int = 4
+) -> str:
+    """SQL twin of IVF-flat top-k (similarity.ivf_topk).
+
+    The centroids are data-derived but deterministic (md5-ordered
+    medoids), so the oracle re-derives them FROM THE TABLE instead of
+    replaying literals: cell id = row_number()-1 in md5(vec_id) order.
+    Assignment/probing both rank round(cos,6) with lowest-cell
+    tie-break, mirroring the Spark side's
+    array_position(scores, array_max(scores)) first-max semantics."""
+    qs = ", ".join(str(q) for q in query_ids)
+    return f"""
+WITH base AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+n AS (SELECT vec_id, v,
+        sqrt(list_sum([v[i] * v[i] FOR i IN range(1, len(v) + 1)])) AS nrm
+      FROM base),
+cent AS (SELECT cid, cv, cn FROM (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+           v AS cv, nrm AS cn FROM n) __c WHERE cid < {n_cells}),
+sc AS (SELECT n.vec_id, c.cid,
+         CAST(round(list_sum([n.v[i] * c.cv[i] FOR i IN range(1, len(n.v) + 1)])
+           / (n.nrm * c.cn), 6) AS DOUBLE) AS s
+       FROM n CROSS JOIN cent c),
+assign AS (SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+    FROM sc) __a WHERE rn = 1),
+probes AS (SELECT query_id, cid FROM (
+    SELECT vec_id AS query_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+    FROM sc WHERE vec_id IN ({qs})) __p WHERE rn <= {n_probe}),
+qv AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id IN ({qs})),
+cand AS (SELECT DISTINCT a.vec_id, p.query_id
+         FROM assign a JOIN probes p ON a.cid = p.cid
+         WHERE a.vec_id != p.query_id),
+p AS (SELECT c.query_id, c.vec_id,
+        CAST(round(list_sum([q.qv[i] * n.v[i] FOR i IN range(1, len(n.v) + 1)])
+          / (q.qn * n.nrm), 6) AS DOUBLE) AS cos
+      FROM cand c JOIN n ON n.vec_id = c.vec_id JOIN qv q ON q.query_id = c.query_id)
+SELECT query_id, vec_id, cos, rank FROM (
+  SELECT query_id, vec_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+  FROM p) __r
+WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
 def emb_near_dup_sql(
     threshold: float,
     n_tables: int = 16, bits: int = 4, dim: int = 64, seed: int = 13,
@@ -1977,6 +2024,17 @@ ORDER BY doc_id
             emb_df(spark, sf), QIDS, k=10, n_probes=8
         ).orderBy("query_id", "rank"),
         ann_multiprobe_sql(QIDS, 10, n_probes=8),
+    )
+    # second ANN family: IVF-flat coarse quantization. Centroids are
+    # deterministic md5-ordered medoids, so the oracle re-derives the
+    # whole index structure (centroids -> assignment -> probes) from
+    # the table in SQL — the approximate candidate set is verified
+    # value-for-value, like the LSH gates.
+    r["ann_ivf_topk"] = (
+        lambda spark, sf: similarity.ivf_topk(
+            emb_df(spark, sf), QIDS, k=10, n_cells=16, n_probe=4
+        ).orderBy("query_id", "rank"),
+        ann_ivf_sql(QIDS, 10, n_cells=16, n_probe=4),
     )
     r["emb_near_dup"] = (
         lambda spark, sf: similarity.embedding_near_dup_pairs(

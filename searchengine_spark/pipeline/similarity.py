@@ -270,6 +270,157 @@ def lsh_bucket_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def ivf_centroids(
+    emb: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic IVF coarse centroids: ``n_cells`` medoids.
+
+    Medoid selection is md5-ordered over the id — a data-derived but
+    fully deterministic pick (no RNG state, no Lloyd iterations) so a
+    SQL oracle can re-derive the exact same centroids from the table
+    itself. The collect is k-bounded (``n_cells`` rows), same class as
+    the WAND seed collect. Returned vectors are the double-cast
+    embeddings in md5 order (cell id = list index).
+    """
+    rows = (
+        emb.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.expr(_as_double(vec_col)).alias("__v"),
+        )
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(n_cells)
+        .collect()
+    )
+    return [list(r["__v"]) for r in rows]
+
+
+def _ivf_score_exprs(cents: list[list[float]], vec_col: str = "__v") -> list[str]:
+    """Per-cell assignment score: round(cos(v, c_i), 6) as SQL text.
+
+    Centroid arrays inline as literals (``repr(float)`` round-trips the
+    exact doubles both engines read from parquet) and the centroid norm
+    is computed IN SQL with the same ordered fold the oracle uses, so
+    the scores are bit-reproducible — the same discipline as the LSH
+    plane literals."""
+    exprs = []
+    for c in cents:
+        arr = "array(" + ", ".join(repr(float(x)) for x in c) + ")"
+        exprs.append(
+            f"round({DOT.format(a=vec_col, b=arr)} / "
+            f"(__norm * sqrt({DOT.format(a=arr, b=arr)})), 6)"
+        )
+    return exprs
+
+
+def _ivf_cell_col(cents: list[list[float]], cell_udf: bool) -> F.Column:
+    """Assigned cell id (argmax cos, first-index tie-break) for one vector.
+
+    Literal mode (the oracle-gated default at dim <= 128):
+    ``array_position(scores, array_max(scores)) - 1`` over the literal
+    score array — Catalyst constant-folds the centroid norms once.
+    UDF mode (the row-count / dimension scale path, same switch as the
+    LSH planes): ONE (batch x dim) @ (dim x cells) matmul per Arrow
+    batch with the centroid tensor in the closure; ``np.argmax`` picks
+    the first max, matching the SQL tie-break."""
+    if not cell_udf:
+        scores = "array(" + ", ".join(_ivf_score_exprs(cents)) + ")"
+        return F.expr(
+            f"cast(array_position({scores}, array_max({scores})) - 1 as int)"
+        )
+
+    cmat = np.asarray(cents, dtype=np.float64)  # (cells, dim)
+    cnrm = np.sqrt((cmat * cmat).sum(axis=1))  # (cells,)
+
+    @F.pandas_udf("int")
+    def cell_of(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype="int32")
+        mat = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        s = np.round((mat @ cmat.T) / (nrm[:, None] * cnrm[None, :]), 6)
+        return pd.Series(np.argmax(s, axis=1).astype(np.int32))
+
+    return cell_of(F.col("__v"))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_udf: bool | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF-flat coarse quantization.
+
+    The second ANN family next to hyperplane LSH (IVF: Jegou et al.,
+    "Product Quantization for Nearest Neighbor Search", TPAMI'11 —
+    coarse inverted lists, here with flat exact rerank): every vector
+    is assigned to its nearest of ``n_cells`` deterministic medoid
+    centroids (``ivf_centroids``); a query probes its ``n_probe``
+    nearest cells and exact cosine re-ranks only those cells'
+    members. Probe cost ~ n_probe/n_cells of the corpus instead of
+    all of it.
+
+    Scale shape: centroids are k-bounded and ship in a UDF closure /
+    literal plan text (never a shuffle); the corpus is scanned ONCE to
+    assign cells; the candidate join is a broadcast of the (tiny)
+    probe table against the cell key. At 10^12 vectors the assignment
+    is one Arrow matmul per batch (``cell_udf=True``) and cell id
+    becomes a partition key so each query touches only n_probe
+    partitions' files. Recall<1 by construction; the gate oracle
+    re-derives the identical centroids/assignment in SQL so the
+    approximate answer itself is verified value-for-value.
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    if cell_udf is None:
+        cell_udf = dim > PLANE_LITERAL_MAX_DIM
+    cents = ivf_centroids(emb, n_cells, id_col, vec_col)
+    base = with_norm(emb, vec_col).select(
+        F.col(id_col).cast("long").alias("vec_id"), "__v", "__norm"
+    )
+    assigned = base.withColumn("cell", _ivf_cell_col(cents, cell_udf))
+
+    # query probes: top-n_probe cells by the SAME literal score exprs
+    # (queries are k-bounded rows, so literal mode is always fine here
+    # and keeps the float ops identical to the oracle's)
+    qid_list = [int(i) for i in query_ids]
+    scores = "array(" + ", ".join(_ivf_score_exprs(cents)) + ")"
+    qbase = base.where(F.col("vec_id").isin(qid_list))
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("query_id").orderBy(F.desc("__s"), F.asc("cell"))
+    probes = (
+        qbase.select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode(F.expr(scores)).alias("cell", "__s"),
+        )
+        .withColumn("__pr", F.row_number().over(wq))
+        .where(F.col("__pr") <= n_probe)
+        .select("query_id", "cell")
+    )
+    qvecs = qbase.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("__v").alias("__qv"),
+        F.col("__norm").alias("__qnorm"),
+    )
+    q = probes.join(qvecs, on="query_id")
+    cand = (
+        assigned.join(F.broadcast(q), on="cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "__qv", "__qnorm", "__v", "__norm")
+    )
+    cos = F.expr(DOT.format(a="__qv", b="__v")) / (F.col("__qnorm") * F.col("__norm"))
+    scored = cand.select("query_id", "vec_id", F.round(cos, 6).alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.99,

@@ -1,0 +1,60 @@
+"""IVF-flat ANN (pipeline/similarity.ivf_topk).
+
+The gate (`ann_ivf_topk`, tests/test_gate.py) value-verifies the
+approximate answer against a DuckDB oracle that re-derives the same
+deterministic medoid centroids from the table. These tests pin the
+algebraic invariants the oracle can't see:
+
+- probing EVERY cell makes IVF exactly brute force (full coverage);
+- the Arrow-matmul cell assignment (the scale path) produces the same
+  frame as the literal-SQL assignment (the oracle-replayed path);
+- centroid selection is partitioning-invariant.
+"""
+
+from searchengine_spark.corpus import make_embeddings
+from searchengine_spark.pipeline import similarity
+
+QIDS = [0, 1, 2]
+
+
+def _key(rows):
+    return sorted((r["query_id"], r["vec_id"], r["cos"], r["rank"]) for r in rows)
+
+
+def test_full_probe_equals_brute_force(spark):
+    emb = make_embeddings(spark, 200, dim=16)
+    ivf = similarity.ivf_topk(emb, QIDS, k=10, n_cells=8, n_probe=8).collect()
+    brute = similarity.cosine_topk(emb, QIDS, k=10).collect()
+    assert _key(ivf) == _key(brute)
+
+
+def test_cell_udf_matches_literal(spark):
+    emb = make_embeddings(spark, 200, dim=16)
+    lit = similarity.ivf_topk(
+        emb, QIDS, k=10, n_cells=8, n_probe=2, cell_udf=False
+    ).collect()
+    udf = similarity.ivf_topk(
+        emb, QIDS, k=10, n_cells=8, n_probe=2, cell_udf=True
+    ).collect()
+    assert _key(lit) == _key(udf)
+    assert lit, "probe path returned no candidates"
+
+
+def test_self_excluded_and_ranked(spark):
+    emb = make_embeddings(spark, 150, dim=16)
+    rows = similarity.ivf_topk(emb, QIDS, k=5, n_cells=4, n_probe=2).collect()
+    assert all(r["query_id"] != r["vec_id"] for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+
+
+def test_centroids_partitioning_invariant(spark):
+    a = similarity.ivf_centroids(make_embeddings(spark, 200, dim=16, partitions=1), 8)
+    b = similarity.ivf_centroids(
+        make_embeddings(spark, 200, dim=16, partitions=11), 8
+    )
+    assert a == b
+    assert len(a) == 8

@@ -198,6 +198,23 @@ def main() -> None:
     report["p_ann_lsh_recall_at1"] = round(
         len(top1 & got) / max(1, len(top1)), 3
     )
+    # IVF-flat, the second ANN family: n_cells ~ sqrt(n) (the standard
+    # IVF sizing) so probe cost ~ n_probe*sqrt(n); Arrow-matmul cell
+    # assignment (cell_udf) is the scale path, literal SQL stays the
+    # gate/oracle default at sf scale.
+    import math as _m
+
+    ivf_cells = max(16, int(round(_m.sqrt(N_PAGES))))
+    report["p_ann_ivf_cells"] = ivf_cells
+    ivf_fn = lambda: similarity.ivf_topk(  # noqa: E731
+        emb, qids, k=10, n_cells=ivf_cells, n_probe=32, cell_udf=True
+    ).collect()
+    ivf_rows = ivf_fn()
+    report["p_ann_ivf_sec"] = round(_best_of(ivf_fn, 2), 3)
+    ivf_got = {(r["query_id"], r["vec_id"]) for r in ivf_rows}
+    report["p_ann_ivf_recall_at10"] = round(
+        len(truth & ivf_got) / max(1, len(truth)), 3
+    )
     # bucket width scales with corpus size: fixed-width keys collide
     # quadratically as n grows past 2^bits (the 1M run proved it)
     import math as _math
@@ -235,6 +252,15 @@ def main() -> None:
     cg = {(r["query_id"], r["vec_id"]) for r in cl_rows}
     report["p_ann_lsh_clustered_recall_at10"] = round(
         len(ct & cg) / max(1, len(ct)), 3
+    )
+    civf_fn = lambda: similarity.ivf_topk(  # noqa: E731
+        embc, qids, k=10, n_cells=ivf_cells, n_probe=32, cell_udf=True
+    ).collect()
+    civf_rows = civf_fn()
+    report["p_ann_ivf_clustered_sec"] = round(_best_of(civf_fn, 2), 3)
+    civf_got = {(r["query_id"], r["vec_id"]) for r in civf_rows}
+    report["p_ann_ivf_clustered_recall_at10"] = round(
+        len(ct & civf_got) / max(1, len(ct)), 3
     )
     embc.unpersist()
 

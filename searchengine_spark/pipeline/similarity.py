@@ -386,24 +386,41 @@ def ivf_topk(
     )
     assigned = base.withColumn("cell", _ivf_cell_col(cents, cell_udf))
 
-    # query probes: top-n_probe cells by the SAME literal score exprs
-    # (queries are k-bounded rows, so literal mode is always fine here
-    # and keeps the float ops identical to the oracle's)
+    # query probes: top-n_probe cells per query. Literal mode ranks the
+    # SAME literal score exprs in SQL (bit-identical to the oracle);
+    # UDF/scale mode computes them driver-side from the (k-bounded)
+    # collected query vectors — at scale n_cells ~ sqrt(n) is hundreds
+    # of cells and a literal plan would carry n_cells*dim floats
+    # through Catalyst analysis for no reason (same driver-side probe
+    # pattern as lsh_bucket_topk's multi-probe keys).
     qid_list = [int(i) for i in query_ids]
-    scores = "array(" + ", ".join(_ivf_score_exprs(cents)) + ")"
     qbase = base.where(F.col("vec_id").isin(qid_list))
     from pyspark.sql import Window
 
-    wq = Window.partitionBy("query_id").orderBy(F.desc("__s"), F.asc("cell"))
-    probes = (
-        qbase.select(
-            F.col("vec_id").alias("query_id"),
-            F.posexplode(F.expr(scores)).alias("cell", "__s"),
+    if cell_udf:
+        cmat = np.asarray(cents, dtype=np.float64)
+        cnrm = np.sqrt((cmat * cmat).sum(axis=1))
+        probe_rows = []
+        for r in qbase.select("vec_id", "__v", "__norm").collect():
+            qv = np.asarray(r["__v"], dtype=np.float64)
+            s = np.round((cmat @ qv) / (float(r["__norm"]) * cnrm), 6)
+            for cell in np.argsort(-s, kind="stable")[:n_probe]:
+                probe_rows.append((int(r["vec_id"]), int(cell)))
+        probes = emb.sparkSession.createDataFrame(
+            probe_rows, "query_id long, cell int"
         )
-        .withColumn("__pr", F.row_number().over(wq))
-        .where(F.col("__pr") <= n_probe)
-        .select("query_id", "cell")
-    )
+    else:
+        scores = "array(" + ", ".join(_ivf_score_exprs(cents)) + ")"
+        wq = Window.partitionBy("query_id").orderBy(F.desc("__s"), F.asc("cell"))
+        probes = (
+            qbase.select(
+                F.col("vec_id").alias("query_id"),
+                F.posexplode(F.expr(scores)).alias("cell", "__s"),
+            )
+            .withColumn("__pr", F.row_number().over(wq))
+            .where(F.col("__pr") <= n_probe)
+            .select("query_id", "cell")
+        )
     qvecs = qbase.select(
         F.col("vec_id").alias("query_id"),
         F.col("__v").alias("__qv"),

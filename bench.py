@@ -155,6 +155,18 @@ def main() -> None:
     queries["p_ann_topk"] = round(
         _best_of(lambda: similarity.cosine_topk(edf, [0, 1, 2], k=10).collect(), 2), 3
     )
+    # cell_udf=True is the row-count scale path (one Arrow matmul per
+    # batch); the literal-SQL path stays the oracle-gated default, same
+    # split as the LSH plane_udf entries in scripts/scalebench.py
+    queries["p_ann_ivf"] = round(
+        _best_of(
+            lambda: similarity.ivf_topk(
+                edf, [0, 1, 2], k=10, n_cells=16, n_probe=4, cell_udf=True
+            ).collect(),
+            2,
+        ),
+        3,
+    )
     queries["p_token_stats"] = round(
         _best_of(lambda: __import__("searchengine_spark.pipeline.textstats", fromlist=["token_stats"]).token_stats(ddf).count(), 2), 3
     )

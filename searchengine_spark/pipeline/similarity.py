@@ -377,10 +377,11 @@ def ivf_topk(
     re-derives the identical centroids/assignment in SQL so the
     approximate answer itself is verified value-for-value.
     """
-    dim = len(emb.select(vec_col).first()[0])
+    cents = ivf_centroids(emb, n_cells, id_col, vec_col)
+    # dim comes from the centroid collect — no separate probe job
+    dim = len(cents[0]) if cents else 0
     if cell_udf is None:
         cell_udf = dim > PLANE_LITERAL_MAX_DIM
-    cents = ivf_centroids(emb, n_cells, id_col, vec_col)
     base = with_norm(emb, vec_col).select(
         F.col(id_col).cast("long").alias("vec_id"), "__v", "__norm"
     )

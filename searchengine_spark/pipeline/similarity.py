@@ -346,6 +346,32 @@ def _ivf_cell_col(cents: list[list[float]], cell_udf: bool) -> F.Column:
     return cell_of(F.col("__v"))
 
 
+def ivf_assign(
+    emb: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_udf: bool | None = None,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF index build: (assigned frame, centroids).
+
+    The returned frame (vec_id, __v, __norm, cell) is the inverted-list
+    structure — ONE scan of the corpus scoring n_cells centroids per
+    vector (the O(n * cells * dim) cost a deployment pays once, then
+    persists or writes partitioned by ``cell`` so queries prune to
+    their probed cells). Pass the tuple to ``ivf_topk(prebuilt=...)``
+    to amortize it across a query workload."""
+    cents = ivf_centroids(emb, n_cells, id_col, vec_col)
+    # dim comes from the centroid collect — no separate probe job
+    dim = len(cents[0]) if cents else 0
+    if cell_udf is None:
+        cell_udf = dim > PLANE_LITERAL_MAX_DIM
+    base = with_norm(emb, vec_col).select(
+        F.col(id_col).cast("long").alias("vec_id"), "__v", "__norm"
+    )
+    return base.withColumn("cell", _ivf_cell_col(cents, cell_udf)), cents
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -355,6 +381,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_udf: bool | None = None,
+    prebuilt: tuple[DataFrame, list[list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF-flat coarse quantization.
 
@@ -376,16 +403,23 @@ def ivf_topk(
     partitions' files. Recall<1 by construction; the gate oracle
     re-derives the identical centroids/assignment in SQL so the
     approximate answer itself is verified value-for-value.
+
+    Cell assignment is the INDEX-BUILD cost (n_cells x dim work per
+    vector, paid once) — amortize it across queries by building via
+    ``ivf_assign`` once, persisting/writing the result, and passing it
+    back through ``prebuilt``; each call then pays only the probe-join
+    + rerank (the per-query cost a deployment actually sees).
     """
-    cents = ivf_centroids(emb, n_cells, id_col, vec_col)
-    # dim comes from the centroid collect — no separate probe job
-    dim = len(cents[0]) if cents else 0
-    if cell_udf is None:
-        cell_udf = dim > PLANE_LITERAL_MAX_DIM
-    base = with_norm(emb, vec_col).select(
-        F.col(id_col).cast("long").alias("vec_id"), "__v", "__norm"
-    )
-    assigned = base.withColumn("cell", _ivf_cell_col(cents, cell_udf))
+    if prebuilt is not None:
+        assigned, cents = prebuilt
+        if cell_udf is None:
+            cell_udf = (len(cents[0]) if cents else 0) > PLANE_LITERAL_MAX_DIM
+    else:
+        assigned, cents = ivf_assign(
+            emb, n_cells, id_col=id_col, vec_col=vec_col, cell_udf=cell_udf
+        )
+        if cell_udf is None:
+            cell_udf = (len(cents[0]) if cents else 0) > PLANE_LITERAL_MAX_DIM
 
     # query probes: top-n_probe cells per query. Literal mode ranks the
     # SAME literal score exprs in SQL (bit-identical to the oracle);
@@ -395,7 +429,7 @@ def ivf_topk(
     # through Catalyst analysis for no reason (same driver-side probe
     # pattern as lsh_bucket_topk's multi-probe keys).
     qid_list = [int(i) for i in query_ids]
-    qbase = base.where(F.col("vec_id").isin(qid_list))
+    qbase = assigned.where(F.col("vec_id").isin(qid_list))
     from pyspark.sql import Window
 
     if cell_udf:

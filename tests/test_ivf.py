@@ -51,6 +51,18 @@ def test_self_excluded_and_ranked(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
 
 
+def test_prebuilt_assignment_reuse(spark):
+    """ivf_assign once + prebuilt= per query == the one-call path (the
+    amortized index-build shape a deployment uses)."""
+    emb = make_embeddings(spark, 200, dim=16)
+    one_call = similarity.ivf_topk(emb, QIDS, k=10, n_cells=8, n_probe=3).collect()
+    idx = similarity.ivf_assign(emb, n_cells=8)
+    idx[0].persist().count()
+    reused = similarity.ivf_topk(emb, QIDS, k=10, n_probe=3, prebuilt=idx).collect()
+    idx[0].unpersist()
+    assert _key(one_call) == _key(reused)
+
+
 def test_centroids_partitioning_invariant(spark):
     a = similarity.ivf_centroids(make_embeddings(spark, 200, dim=16, partitions=1), 8)
     b = similarity.ivf_centroids(

@@ -372,6 +372,53 @@ def ivf_assign(
     return base.withColumn("cell", _ivf_cell_col(cents, cell_udf)), cents
 
 
+def write_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_udf: bool | None = None,
+) -> None:
+    """Persist the IVF inverted lists partitioned by cell.
+
+    Layout: ``<path>/cells/cell=<i>/*.parquet`` (vec_id, __v, __norm)
+    plus ``<path>/centroids.json``. Because ``cell`` is a partition
+    directory and ``ivf_topk``'s driver-side probe path pushes the
+    probed cells as a literal IN filter, a query against the read-back
+    index scans ONLY the n_probe probed cells' files (PartitionFilters
+    in the plan — the same bucket-pruning shape as the postings
+    layout, pinned by tests/test_ivf.py)."""
+    import json
+    import os
+
+    assigned, cents = ivf_assign(
+        emb, n_cells, id_col=id_col, vec_col=vec_col, cell_udf=cell_udf
+    )
+    assigned.select("vec_id", "__v", "__norm", "cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(os.path.join(path, "cells"))
+    tmp = os.path.join(path, "centroids.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(cents, fh)
+    os.replace(tmp, os.path.join(path, "centroids.json"))
+
+
+def read_ivf_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
+    """Open a ``write_ivf_index`` layout as an ``ivf_topk(prebuilt=)``
+    tuple; cell comes back as the partition column (pruned by the
+    probe literals, never scanned wholesale)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "centroids.json")) as fh:
+        cents = json.load(fh)
+    df = spark.read.parquet(os.path.join(path, "cells")).select(
+        "vec_id", "__v", "__norm", F.col("cell").cast("int").alias("cell")
+    )
+    return df, cents
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -444,6 +491,14 @@ def ivf_topk(
         probes = emb.sparkSession.createDataFrame(
             probe_rows, "query_id long, cell int"
         )
+        # probe cells are known driver-side here, so push them as a
+        # LITERAL IN filter: against a cell-partitioned on-disk index
+        # (write_ivf_index) this becomes a PartitionFilter — the scan
+        # touches only the probed cells' files, the same bucket-pruning
+        # shape as the postings layout
+        cand_src = assigned.where(
+            F.col("cell").isin(sorted({c for _, c in probe_rows}))
+        )
     else:
         scores = "array(" + ", ".join(_ivf_score_exprs(cents)) + ")"
         wq = Window.partitionBy("query_id").orderBy(F.desc("__s"), F.asc("cell"))
@@ -456,6 +511,7 @@ def ivf_topk(
             .where(F.col("__pr") <= n_probe)
             .select("query_id", "cell")
         )
+        cand_src = assigned
     qvecs = qbase.select(
         F.col("vec_id").alias("query_id"),
         F.col("__v").alias("__qv"),
@@ -463,7 +519,7 @@ def ivf_topk(
     )
     q = probes.join(qvecs, on="query_id")
     cand = (
-        assigned.join(F.broadcast(q), on="cell")
+        cand_src.join(F.broadcast(q), on="cell")
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", "__qv", "__qnorm", "__v", "__norm")
     )

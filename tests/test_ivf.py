@@ -63,6 +63,25 @@ def test_prebuilt_assignment_reuse(spark):
     assert _key(one_call) == _key(reused)
 
 
+def test_persisted_index_prunes_partitions(spark, tmp_path):
+    """write_ivf_index -> read_ivf_index -> query: results match the
+    in-memory path AND the scan carries PartitionFilters on the probed
+    cells (only n_probe cell dirs are read)."""
+    emb = make_embeddings(spark, 200, dim=16)
+    mem = similarity.ivf_topk(
+        emb, QIDS, k=10, n_cells=8, n_probe=3, cell_udf=True
+    ).collect()
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_index(emb, path, n_cells=8, cell_udf=True)
+    idx = similarity.read_ivf_index(spark, path)
+    out = similarity.ivf_topk(
+        emb, QIDS, k=10, n_probe=3, cell_udf=True, prebuilt=idx
+    )
+    assert _key(out.collect()) == _key(mem)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+
 def test_centroids_partitioning_invariant(spark):
     a = similarity.ivf_centroids(make_embeddings(spark, 200, dim=16, partitions=1), 8)
     b = similarity.ivf_centroids(

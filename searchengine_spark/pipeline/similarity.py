@@ -267,7 +267,16 @@ def lsh_bucket_topk(
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    ranked = scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    # materialize the (k-bounded) result, then release the corpus-sized
+    # bucket cache — a leaked `hashed` per call evicts later stages'
+    # caches into silent recompute (the round-3 1M-minhash lesson; a
+    # widened ANN bench section measured embedding_near_dup_pairs at 5x
+    # its isolated cost purely from these accumulated leaks)
+    ranked = ranked.persist()
+    ranked.count()
+    hashed.unpersist()
+    return ranked
 
 
 def ivf_centroids(
@@ -589,7 +598,13 @@ def embedding_near_dup_pairs(
         )
     )
     cos = F.expr(DOT.format(a="__va", b="__vb")) / (F.col("__na") * F.col("__nb"))
-    return (
+    verified = (
         pairs.select("id_a", "id_b", F.round(cos, 6).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
+    # same discipline as minhash_lsh_pairs: materialize the (small)
+    # verified pair set, release the corpus-sized hash cache
+    verified = verified.persist()
+    verified.count()
+    hashed.unpersist()
+    return verified

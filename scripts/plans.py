@@ -63,6 +63,21 @@ def _stats_prefetch_frame(idx):
     return idx.term_stats.where(cond).select("term", "field", "df", "ctf")
 
 
+def _ivf_plan_frame(spark):
+    """Persisted IVF index + probe-pruned query (tests/test_ivf.py pins
+    the PartitionFilters; this records the shape)."""
+    from searchengine_spark.corpus import make_embeddings
+    from searchengine_spark.pipeline import similarity
+
+    emb = make_embeddings(spark, 400, dim=16)
+    ivf_dir = os.path.join(tempfile.mkdtemp(prefix="plans_ivf_"), "ivf")
+    similarity.write_ivf_index(emb, ivf_dir, n_cells=8, cell_udf=True)
+    idx = similarity.read_ivf_index(spark, ivf_dir)
+    return similarity.ivf_topk(
+        emb, [0, 1, 2], k=10, n_probe=2, cell_udf=True, prebuilt=idx
+    )
+
+
 def main() -> None:
     spark = get_spark("plans", cores=4, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
@@ -121,6 +136,11 @@ def main() -> None:
             "Stats prefetch (bucket-pruned term_stats segment fold)",
             "The compiler's one-collect-per-batch stats prefetch: literal bucket-IN prunes the term_stats partition dirs (the segment-fold groupBy keeps `bucket` in its keys so the filter pushes through the aggregate); term/field filters push to the parquet scan.",
             _stats_prefetch_frame(idx),
+        ),
+        (
+            "IVF-flat ANN over the persisted cell-partitioned index",
+            "`ivf_topk(prebuilt=read_ivf_index(...))` with driver-side probes — expect `PartitionFilters: [cell#N IN (..)]` on the FileScan: only the n_probe probed cells' directories are read, the embedding analogue of the postings bucket pruning.",
+            _ivf_plan_frame(spark),
         ),
         (
             "MinHash-LSH near-dup pairs (band equi-join, hashed verify)",

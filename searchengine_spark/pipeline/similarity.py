@@ -392,13 +392,14 @@ def write_ivf_index(
     """Persist the IVF inverted lists partitioned by cell.
 
     Layout: ``<path>/cells/cell=<i>/*.parquet`` (vec_id, __v, __norm)
-    plus ``<path>/centroids.json``. Because ``cell`` is a partition
-    directory and ``ivf_topk``'s driver-side probe path pushes the
-    probed cells as a literal IN filter, a query against the read-back
-    index scans ONLY the n_probe probed cells' files (PartitionFilters
-    in the plan — the same bucket-pruning shape as the postings
-    layout, pinned by tests/test_ivf.py)."""
-    import json
+    plus ``<path>/centroids`` (a one-file parquet of (cid, cv) — both
+    pieces go through Spark's FS layer, so the layout works unchanged
+    on HDFS/S3 URIs, not just local paths). Because ``cell`` is a
+    partition directory and ``ivf_topk``'s driver-side probe path
+    pushes the probed cells as a literal IN filter, a query against
+    the read-back index scans ONLY the n_probe probed cells' files
+    (PartitionFilters in the plan — the same bucket-pruning shape as
+    the postings layout, pinned by tests/test_ivf.py)."""
     import os
 
     assigned, cents = ivf_assign(
@@ -407,21 +408,19 @@ def write_ivf_index(
     assigned.select("vec_id", "__v", "__norm", "cell").write.mode(
         "overwrite"
     ).partitionBy("cell").parquet(os.path.join(path, "cells"))
-    tmp = os.path.join(path, "centroids.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(cents, fh)
-    os.replace(tmp, os.path.join(path, "centroids.json"))
+    emb.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cid int, cv array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
 
 
 def read_ivf_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
     """Open a ``write_ivf_index`` layout as an ``ivf_topk(prebuilt=)``
     tuple; cell comes back as the partition column (pruned by the
     probe literals, never scanned wholesale)."""
-    import json
     import os
 
-    with open(os.path.join(path, "centroids.json")) as fh:
-        cents = json.load(fh)
+    crows = spark.read.parquet(os.path.join(path, "centroids")).collect()
+    cents = [list(r["cv"]) for r in sorted(crows, key=lambda r: r["cid"])]
     df = spark.read.parquet(os.path.join(path, "cells")).select(
         "vec_id", "__v", "__norm", F.col("cell").cast("int").alias("cell")
     )

@@ -465,6 +465,7 @@ def ivf_topk(
     back through ``prebuilt``; each call then pays only the probe-join
     + rerank (the per-query cost a deployment actually sees).
     """
+    own_assigned = prebuilt is None
     if prebuilt is not None:
         assigned, cents = prebuilt
         if cell_udf is None:
@@ -473,6 +474,11 @@ def ivf_topk(
         assigned, cents = ivf_assign(
             emb, n_cells, id_col=id_col, vec_col=vec_col, cell_udf=cell_udf
         )
+        # one-call mode: both the probe collect and the candidate scan
+        # read the assignment — cache it for the call, release before
+        # returning (lsh_bucket_topk's discipline); without this the
+        # O(n*cells*dim) assignment runs twice
+        assigned = assigned.persist()
         if cell_udf is None:
             cell_udf = (len(cents[0]) if cents else 0) > PLANE_LITERAL_MAX_DIM
 
@@ -534,7 +540,16 @@ def ivf_topk(
     cos = F.expr(DOT.format(a="__qv", b="__v")) / (F.col("__qnorm") * F.col("__norm"))
     scored = cand.select("query_id", "vec_id", F.round(cos, 6).alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    ranked = scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    if own_assigned:
+        # materialize the k-bounded result, then free the assignment
+        # cache; prebuilt mode stays lazy (the caller owns the cache,
+        # and an eager persist here would hide the cell PartitionFilters
+        # the persisted-index plan evidence relies on)
+        ranked = ranked.persist()
+        ranked.count()
+        assigned.unpersist()
+    return ranked
 
 
 def embedding_near_dup_pairs(

@@ -355,12 +355,48 @@ def _ivf_cell_col(cents: list[list[float]], cell_udf: bool) -> F.Column:
     return cell_of(F.col("__v"))
 
 
+def _lloyd_refine(
+    base: DataFrame, cents: list[list[float]], iters: int
+) -> list[list[float]]:
+    """k-means (Lloyd) refinement of the medoid-seeded centroids.
+
+    Per iteration: one corpus scan assigns cells (Arrow matmul), then
+    ONE groupBy(cell) with dim per-component avg exprs — map-side
+    partial aggregation means the shuffle carries cells x dim partial
+    sums per task, never vectors, and the collect is k-bounded
+    (n_cells rows). Empty cells keep their previous centroid.
+
+    NOT oracle-replayable on purpose: a distributed float average is
+    not bit-reproducible across partitionings, so the gated/oracle
+    path stays at ``lloyd_iters=0`` (pure medoids) and refinement is a
+    scale-path quality knob verified by the full-probe == brute-force
+    invariant (which holds for ANY centroids) plus recall pytest."""
+    if not cents:
+        return cents
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = base.withColumn("cell", _ivf_cell_col(cents, cell_udf=True))
+        rows = (
+            assigned.groupBy("cell")
+            .agg(F.array(*[F.avg(F.col("__v")[i]) for i in range(dim)]).alias("m"))
+            .collect()
+        )
+        new = list(cents)
+        for r in rows:
+            m = r["m"]
+            if m is not None and all(x is not None for x in m):
+                new[int(r["cell"])] = [float(x) for x in m]
+        cents = new
+    return cents
+
+
 def ivf_assign(
     emb: DataFrame,
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_udf: bool | None = None,
+    lloyd_iters: int = 0,
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF index build: (assigned frame, centroids).
 
@@ -369,7 +405,11 @@ def ivf_assign(
     vector (the O(n * cells * dim) cost a deployment pays once, then
     persists or writes partitioned by ``cell`` so queries prune to
     their probed cells). Pass the tuple to ``ivf_topk(prebuilt=...)``
-    to amortize it across a query workload."""
+    to amortize it across a query workload.
+
+    ``lloyd_iters > 0`` refines the medoid seeds with k-means passes
+    (``_lloyd_refine``) before the final assignment — the standard IVF
+    coarse-quantizer training; the oracle-gated default stays 0."""
     cents = ivf_centroids(emb, n_cells, id_col, vec_col)
     # dim comes from the centroid collect — no separate probe job
     dim = len(cents[0]) if cents else 0
@@ -378,6 +418,8 @@ def ivf_assign(
     base = with_norm(emb, vec_col).select(
         F.col(id_col).cast("long").alias("vec_id"), "__v", "__norm"
     )
+    if lloyd_iters > 0:
+        cents = _lloyd_refine(base, cents, lloyd_iters)
     return base.withColumn("cell", _ivf_cell_col(cents, cell_udf)), cents
 
 
@@ -388,6 +430,7 @@ def write_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_udf: bool | None = None,
+    lloyd_iters: int = 0,
 ) -> None:
     """Persist the IVF inverted lists partitioned by cell.
 
@@ -403,7 +446,8 @@ def write_ivf_index(
     import os
 
     assigned, cents = ivf_assign(
-        emb, n_cells, id_col=id_col, vec_col=vec_col, cell_udf=cell_udf
+        emb, n_cells, id_col=id_col, vec_col=vec_col, cell_udf=cell_udf,
+        lloyd_iters=lloyd_iters,
     )
     assigned.select("vec_id", "__v", "__norm", "cell").write.mode(
         "overwrite"
@@ -437,6 +481,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     cell_udf: bool | None = None,
     prebuilt: tuple[DataFrame, list[list[float]]] | None = None,
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF-flat coarse quantization.
 
@@ -472,7 +517,8 @@ def ivf_topk(
             cell_udf = (len(cents[0]) if cents else 0) > PLANE_LITERAL_MAX_DIM
     else:
         assigned, cents = ivf_assign(
-            emb, n_cells, id_col=id_col, vec_col=vec_col, cell_udf=cell_udf
+            emb, n_cells, id_col=id_col, vec_col=vec_col, cell_udf=cell_udf,
+            lloyd_iters=lloyd_iters,
         )
         # one-call mode: both the probe collect and the candidate scan
         # read the assignment — cache it for the call, release before

@@ -82,6 +82,39 @@ def test_persisted_index_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan and "cell" in plan
 
 
+def test_lloyd_full_probe_still_equals_brute(spark):
+    """The full-probe == brute-force invariant holds for ANY centroids,
+    so it pins the Lloyd-refined path without needing bit-reproducible
+    averages (which a distributed float mean can't promise)."""
+    emb = make_embeddings(spark, 200, dim=16)
+    ivf = similarity.ivf_topk(
+        emb, QIDS, k=10, n_cells=8, n_probe=8, lloyd_iters=2
+    ).collect()
+    brute = similarity.cosine_topk(emb, QIDS, k=10).collect()
+    assert _key(ivf) == _key(brute)
+
+
+def test_lloyd_refines_toward_cluster_means(spark):
+    """On a clustered corpus with n_cells == n_clusters, Lloyd recall
+    should be at least as good as the raw medoid seeding."""
+    emb = make_embeddings(spark, 400, dim=16, n_clusters=8).persist()
+    emb.count()
+    brute = {(r["query_id"], r["vec_id"]) for r in
+             similarity.cosine_topk(emb, QIDS, k=5).collect()}
+
+    def recall(iters):
+        got = {(r["query_id"], r["vec_id"]) for r in similarity.ivf_topk(
+            emb, QIDS, k=5, n_cells=8, n_probe=1, cell_udf=True,
+            lloyd_iters=iters,
+        ).collect()}
+        return len(brute & got) / max(1, len(brute))
+
+    r0, r2 = recall(0), recall(2)
+    emb.unpersist()
+    assert r2 >= r0
+    assert r2 > 0
+
+
 def test_centroids_partitioning_invariant(spark):
     a = similarity.ivf_centroids(make_embeddings(spark, 200, dim=16, partitions=1), 8)
     b = similarity.ivf_centroids(

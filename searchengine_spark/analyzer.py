@@ -442,6 +442,10 @@ vibrant vibrate vice vicious victim victory vigilant vigor vigorous vile
 vilify villa vine vinegar vineyard vintage violate violent violet violin
 viper viral virtual visa visible vista visual visualize vital vitamin vivid
 vocabulary vocal void volatile volcano volume voluntary vow voyage
+axe doe suite training status plus crocus fungus walrus octopus syllabus
+consensus caucus citrus fetus sinus thesaurus terminus stimulus exodus onus
+opus mucus locus nexus calculus hiatus impetus cumulus humus tetanus papyrus
+platypus sarcophagus
 vulnerable wade wafer waffle wagon wail waist waitress wand wander ward
 wardrobe warehouse warrant warranty warrior wart wary wasp waste waterfall
 watermelon waver wax weak weakness wealthy weapon weary weasel weather weave
@@ -488,7 +492,12 @@ def krovetz_lite(word: str) -> str:
         return cand
     if w.endswith("sses"):
         return w[:-2]
-    if w.endswith("ss") or w.endswith("us"):
+    # KStem's plural guard is "-ss" and "-ous" ONLY (adjectives like
+    # famous); "-us" nouns (virus, census, status, bureau's plural ...)
+    # are identity via the DICTIONARY, not a spelling rule — a blanket
+    # -us rule wrongly froze out-of-step plurals like bureaus/menus
+    # (round-4 pinned divergences, resolved round 5).
+    if w.endswith("ss") or w.endswith("ous"):
         return w
     if w.endswith("es") and n >= 4:
         s1, s2 = w[:-1], w[:-2]
@@ -622,7 +631,7 @@ def analyzer_version(name: str) -> str:
 
     an = get_analyzer(name)
     h = hashlib.md5()
-    h.update(b"rules-v3")  # bump on any krovetz_lite/_wants_e code change
+    h.update(b"rules-v4")  # bump on any krovetz_lite/_wants_e code change
     h.update(TOKEN_RE.pattern.encode())
     h.update(repr((an.stop, an.stem)).encode())
     if an.stop:

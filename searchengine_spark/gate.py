@@ -553,7 +553,7 @@ def _kstem_case(c: dict, mem: dict) -> str:
          WHEN {mem['s1']} THEN {s1}
          ELSE {s3y} END)
  WHEN ends_with({w}, 'sses') THEN left({w}, length({w}) - 2)
- WHEN ends_with({w}, 'ss') OR ends_with({w}, 'us') THEN {w}
+ WHEN ends_with({w}, 'ss') OR ends_with({w}, 'ous') THEN {w}
  WHEN ends_with({w}, 'es') AND length({w}) >= 4 THEN
    (CASE WHEN {mem['s1']} THEN {s1}
          WHEN {mem['s2']} THEN {s2}

@@ -213,6 +213,11 @@ def lsh_bucket_topk(
     adding tables (which would re-hash the whole corpus). The corpus
     side of the plan is byte-identical to ``n_probes=1``; the default
     stays 1 so the oracle-gated path is untouched.
+
+    EAGER: the call materializes its result (persist + count) so the
+    corpus-sized bucket cache can be released before returning; the
+    k-bounded top-k comes back as a driver-local frame with no cache
+    attached (see ``_localized``).
     """
     planes = _hyperplanes(dim, n_tables, bits, seed)
     base = with_norm(emb, vec_col).select(
@@ -272,11 +277,42 @@ def lsh_bucket_topk(
     # bucket cache — a leaked `hashed` per call evicts later stages'
     # caches into silent recompute (the round-3 1M-minhash lesson; a
     # widened ANN bench section measured embedding_near_dup_pairs at 5x
-    # its isolated cost purely from these accumulated leaks)
-    ranked = ranked.persist()
-    ranked.count()
-    hashed.unpersist()
-    return ranked
+    # its isolated cost purely from these accumulated leaks). The result
+    # is k*len(query_ids) rows, so it localizes: the caller gets a frame
+    # with NO cache attached (nothing left to leak).
+    return _localized(ranked, hashed)
+
+
+# Results at or under this many rows are pulled to the driver and
+# re-emitted as a local frame so the corpus-sized build cache can be
+# unpersisted immediately (no persisted frame escapes to the caller).
+# Above it (possible only for embedding_near_dup_pairs at permissive
+# thresholds) the verified pairs stay a persisted distributed frame —
+# eagerly materialized, documented, and releasable via df.unpersist().
+LOCALIZE_MAX_ROWS = 200_000
+
+
+def _localized(result: DataFrame, *caches: DataFrame) -> DataFrame:
+    """Materialize ``result``, release ``caches``, return a leak-free frame.
+
+    Small results (<= LOCALIZE_MAX_ROWS) come back as a driver-local
+    frame with no cache attached; larger ones stay persisted (the
+    caller owns the release via ``.unpersist()``). Either way the
+    corpus-sized build caches are dropped before returning — the
+    ADVICE-flagged "returned cache is never unpersisted" leak."""
+    result = result.persist()
+    n = result.count()
+    if n <= LOCALIZE_MAX_ROWS:
+        rows = result.collect()
+        schema = result.schema
+        spark = result.sparkSession
+        result.unpersist()
+        for c in caches:
+            c.unpersist()
+        return spark.createDataFrame(rows, schema)
+    for c in caches:
+        c.unpersist()
+    return result
 
 
 def ivf_centroids(
@@ -438,9 +474,10 @@ def write_ivf_index(
     plus ``<path>/centroids`` (a one-file parquet of (cid, cv) — both
     pieces go through Spark's FS layer, so the layout works unchanged
     on HDFS/S3 URIs, not just local paths). Because ``cell`` is a
-    partition directory and ``ivf_topk``'s driver-side probe path
-    pushes the probed cells as a literal IN filter, a query against
-    the read-back index scans ONLY the n_probe probed cells' files
+    partition directory and every ``ivf_topk(prebuilt=...)`` call
+    (literal or UDF mode) probes driver-side and pushes the probed
+    cells as a literal IN filter, a query against the read-back index
+    scans ONLY the n_probe probed cells' files
     (PartitionFilters in the plan — the same bucket-pruning shape as
     the postings layout, pinned by tests/test_ivf.py)."""
     import os
@@ -528,18 +565,27 @@ def ivf_topk(
         if cell_udf is None:
             cell_udf = (len(cents[0]) if cents else 0) > PLANE_LITERAL_MAX_DIM
 
-    # query probes: top-n_probe cells per query. Literal mode ranks the
-    # SAME literal score exprs in SQL (bit-identical to the oracle);
-    # UDF/scale mode computes them driver-side from the (k-bounded)
-    # collected query vectors — at scale n_cells ~ sqrt(n) is hundreds
-    # of cells and a literal plan would carry n_cells*dim floats
-    # through Catalyst analysis for no reason (same driver-side probe
-    # pattern as lsh_bucket_topk's multi-probe keys).
+    # query probes: top-n_probe cells per query. One-call literal mode
+    # ranks the SAME literal score exprs in SQL (bit-identical to the
+    # oracle); UDF/scale mode AND every prebuilt call compute them
+    # driver-side from the (k-bounded) collected query vectors — at
+    # scale n_cells ~ sqrt(n) is hundreds of cells and a literal plan
+    # would carry n_cells*dim floats through Catalyst analysis for no
+    # reason (same driver-side probe pattern as lsh_bucket_topk's
+    # multi-probe keys), and driver-known probe cells are what turn
+    # into PartitionFilters against a write_ivf_index layout.
     qid_list = [int(i) for i in query_ids]
     qbase = assigned.where(F.col("vec_id").isin(qid_list))
     from pyspark.sql import Window
 
-    if cell_udf:
+    # prebuilt mode ALWAYS probes driver-side: the probed cells are then
+    # known as literals, so the IN filter below reaches the scan as a
+    # PartitionFilter against a write_ivf_index layout in literal mode
+    # too (previously only cell_udf=True pruned; a dim<=128 user
+    # silently lost the pruning the cell layout exists for). One-call
+    # literal mode keeps the SQL-expr probes — that is the
+    # oracle-replayed path and must stay bit-identical to the gate SQL.
+    if cell_udf or prebuilt is not None:
         cmat = np.asarray(cents, dtype=np.float64)
         cnrm = np.sqrt((cmat * cmat).sum(axis=1))
         probe_rows = []
@@ -588,13 +634,13 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     ranked = scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
     if own_assigned:
-        # materialize the k-bounded result, then free the assignment
-        # cache; prebuilt mode stays lazy (the caller owns the cache,
-        # and an eager persist here would hide the cell PartitionFilters
-        # the persisted-index plan evidence relies on)
-        ranked = ranked.persist()
-        ranked.count()
-        assigned.unpersist()
+        # EAGER in one-call mode: localize the k-bounded result and free
+        # the assignment cache before returning (no persisted frame
+        # escapes — see _localized). Prebuilt mode stays lazy: the
+        # caller owns the cache, and an eager materialize here would
+        # hide the cell PartitionFilters the persisted-index plan
+        # evidence relies on.
+        return _localized(ranked, assigned)
     return ranked
 
 
@@ -609,7 +655,14 @@ def embedding_near_dup_pairs(
     seed: int = 13,
     plane_udf: bool | None = None,
 ) -> DataFrame:
-    """(id_a < id_b, cos >= threshold) via the same LSH bucketing."""
+    """(id_a < id_b, cos >= threshold) via the same LSH bucketing.
+
+    EAGER: materializes the verified pair set so the corpus-sized hash
+    cache can be released before returning. Small pair sets (the normal
+    case at near-dup thresholds) localize to a cache-free driver frame;
+    a pair set past ``LOCALIZE_MAX_ROWS`` (permissive thresholds) comes
+    back persisted — release it with ``df.unpersist()`` when done.
+    """
     planes = _hyperplanes(dim, n_tables, bits, seed)
     base = with_norm(emb, vec_col).select(
         F.col(id_col).cast("long").alias("vec_id"), "__v", "__norm"
@@ -662,9 +715,7 @@ def embedding_near_dup_pairs(
         pairs.select("id_a", "id_b", F.round(cos, 6).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
-    # same discipline as minhash_lsh_pairs: materialize the (small)
-    # verified pair set, release the corpus-sized hash cache
-    verified = verified.persist()
-    verified.count()
-    hashed.unpersist()
-    return verified
+    # same discipline as minhash_lsh_pairs: materialize the verified
+    # pair set, release the corpus-sized hash cache; small results
+    # localize so no cache escapes to the caller
+    return _localized(verified, hashed)

@@ -106,6 +106,11 @@ def test_ann_highdim_plane_broadcast(spark, monkeypatch):
     rows = [(i, rng.standard_normal(dim).astype("float32").tolist()) for i in range(n)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
+    # keep the distributed plan inspectable: localization (the default)
+    # replaces the returned frame's plan with a LogicalRDD, so force the
+    # persisted-passthrough branch for this plan-size test
+    monkeypatch.setattr(similarity, "LOCALIZE_MAX_ROWS", -1)
+
     kw = dict(k=10, n_tables=4, bits=4, dim=dim, seed=13)
     udf_df = similarity.lsh_bucket_topk(emb, [0, 1], **kw)
     udf_rows = sorted(map(tuple, udf_df.collect()))
@@ -119,3 +124,5 @@ def test_ann_highdim_plane_broadcast(spark, monkeypatch):
     lit_plan = lit_df._jdf.queryExecution().optimizedPlan().toString()
     assert len(udf_plan) < 100_000, f"UDF-path plan blew up: {len(udf_plan)}"
     assert len(lit_plan) > 4 * len(udf_plan)  # literals genuinely dominate
+    udf_df.unpersist()
+    lit_df.unpersist()

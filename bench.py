@@ -157,19 +157,69 @@ def main() -> None:
     )
     # cell_udf=True is the row-count scale path (one Arrow matmul per
     # batch); the literal-SQL path stays the oracle-gated default, same
-    # split as the LSH plane_udf entries in scripts/scalebench.py
-    queries["p_ann_ivf"] = round(
+    # split as the LSH plane_udf entries in scripts/scalebench.py.
+    # Build/query split mirrors scripts/scalebench.py: the O(n*cells*dim)
+    # assignment is the amortized index-build cost (single-shot), the
+    # prebuilt query is the per-query latency a deployment sees — the
+    # old one-call `p_ann_ivf` entry folded both into a "query" number.
+    t0 = time.time()
+    ivf_assigned, ivf_cents = similarity.ivf_assign(edf, n_cells=16, cell_udf=True)
+    ivf_assigned = ivf_assigned.persist()
+    ivf_assigned.count()
+    queries["p_ann_ivf_build"] = round(time.time() - t0, 3)
+    ivf_idx = (ivf_assigned, ivf_cents)
+    queries["p_ann_ivf_query"] = round(
         _best_of(
             lambda: similarity.ivf_topk(
-                edf, [0, 1, 2], k=10, n_cells=16, n_probe=4, cell_udf=True
+                edf, [0, 1, 2], k=10, n_probe=4, cell_udf=True, prebuilt=ivf_idx
             ).collect(),
             2,
         ),
         3,
     )
+    ivf_assigned.unpersist()
     queries["p_token_stats"] = round(
         _best_of(lambda: __import__("searchengine_spark.pipeline.textstats", fromlist=["token_stats"]).token_stats(ddf).count(), 2), 3
     )
+
+    # --- media decode throughput (VERDICT r4 item 3) ------------------------
+    # Deterministic MJPEG-in-AVI corpus decoded through the production
+    # multimodal mapInPandas path (decode_stub=False -> pipeline/jpeg.py's
+    # LUT entropy decoder). Corpus generation is driver-side and untimed.
+    import numpy as np
+
+    from searchengine_spark.pipeline import multimodal as mm
+    from searchengine_spark.pipeline.media_codecs import encode_avi
+
+    xx, yy = np.meshgrid(np.arange(160), np.arange(120))
+    clips = []
+    for i in range(64):
+        rng = np.random.default_rng(100 + i)
+        base = np.stack(
+            [
+                np.stack(
+                    [(xx * 2 + 7 * i + 3 * f) % 256, (yy * 3 + f) % 256,
+                     (xx + yy + f) % 256],
+                    axis=-1,
+                )
+                for f in range(8)
+            ]
+        )
+        frames = (
+            base.astype(int) + rng.integers(-24, 25, size=base.shape)
+        ).clip(0, 255).astype(np.uint8)
+        clips.append(encode_avi(frames, fps=8, codec="MJPG", quality=85))
+    media_bytes = sum(len(c) for c in clips)
+    media = spark.createDataFrame(
+        [(i, "video", bytearray(c), "video/avi", len(c)) for i, c in enumerate(clips)],
+        mm.MEDIA_SCHEMA,
+    ).repartition(cpus).persist()
+    media.count()
+    media_fn = lambda: mm.extract_features(media, decode_stub=False).collect()  # noqa: E731
+    media_fn()  # warm-up: Arrow worker spin-up
+    media_sec = _best_of(media_fn, 2)
+    queries["p_media_decode"] = round(media_sec, 3)
+    media.unpersist()
 
     lat_sorted = sorted(lat)
     p95 = lat_sorted[min(len(lat_sorted) - 1, int(0.95 * len(lat_sorted)))]
@@ -197,6 +247,8 @@ def main() -> None:
                     / max(queries["q_batch100_near_fused"], 1e-9),
                     1,
                 ),
+                "media_corpus_mb": round(media_bytes / 1e6, 2),
+                "media_decode_mbps": round(media_bytes / 1e6 / media_sec, 2),
                 "cpus": cpus,
             }
         )

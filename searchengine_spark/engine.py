@@ -87,6 +87,16 @@ def _flat_op_leaves(ast):
     return ast.op, terms, list(ast.weights) if ast.weights else None
 
 
+# Auto-pruning threshold (VERDICT r4 item 4): an eligible query whose
+# estimated scanned-posting volume (sum of term df) reaches this routes
+# through the exact pruned operators in operators/wand.py instead of the
+# exhaustive plan. Below it the exhaustive single-scan plan is already
+# sub-second and the pruned path's 2-3 driver actions would only add
+# fixed cost. Results are rank- and score-identical either way (pinned
+# by tests/test_wand.py and the shared-oracle gate `bm25_wand_pruned`).
+PRUNE_MIN_POSTINGS = 100_000
+
+
 class SearchEngine:
     def __init__(self, index: InvertedIndex, fields: tuple | None = None):
         self.index = index
@@ -133,11 +143,89 @@ class SearchEngine:
         self.index.trim_temps()
         return out
 
+    def _pruned_topk(self, m, ast, k: int, prune) -> DataFrame | None:
+        """Route an eligible AST through an exact pruned top-k operator.
+
+        Returns the ranked frame, or None when the query/model shape is
+        not prunable or (``prune="auto"``) the estimated posting volume
+        is below PRUNE_MIN_POSTINGS. ``prune=True`` forces the pruned
+        path regardless of volume (tests pin identity at small scale).
+        Covered shapes — both proven rank/score-identical to the
+        exhaustive plans:
+
+        - BM25 bag-of-words #SUM over distinct same-field terms ->
+          block-max WAND (operators/wand.bm25_topk_pruned, gate
+          ``bm25_wand_pruned``); needs the index's block_stats.
+        - RankedBoolean single flat #NEAR/#WINDOW -> min-term-tf bound
+          pruning of the Arrow merge (ranked_positional_topk_pruned).
+          BM25 positionals stay exhaustive: their exposed score needs
+          the derived op's exact df, which only the full merge knows.
+        """
+        if not prune or ast is None:
+            return None
+        from searchengine_spark.operators.wand import (
+            bm25_topk_pruned,
+            ranked_positional_topk_pruned,
+        )
+
+        name = getattr(m, "name", "")
+        comp = self.compiler(m)
+
+        def _volume(term_nodes) -> int:
+            comp.prefetch_term_stats(SopNode("sum", tuple(term_nodes)))
+            return sum(
+                comp.term_stats.get((t.term, t.field), (0, 0))[0]
+                for t in term_nodes
+            )
+
+        if name == "bm25" and self.index.block_stats is not None:
+            leaves = _flat_sum_leaves(ast)
+            if leaves is not None:
+                fld = leaves[0].field
+                names = [t.term for t in leaves]
+                if (
+                    all(t.field == fld for t in leaves)
+                    and len(set(names)) == len(names)
+                    and self.index.avg_len(fld) > 0
+                    and (prune is True or _volume(leaves) >= PRUNE_MIN_POSTINGS)
+                ):
+                    scored = bm25_topk_pruned(
+                        self.index, names, k=k, k1=m.k1, b=m.b, field=fld
+                    )
+                    return topk(scored, k)
+        if name == "rankedboolean":
+            iop = _flat_positional(ast)
+            if iop is not None and (
+                prune is True or _volume(iop.args) >= PRUNE_MIN_POSTINGS
+            ):
+                return topk(
+                    ranked_positional_topk_pruned(self.index, iop, k=k), k
+                )
+        return None
+
     def search(
-        self, query: str, model="bm25", k: int = 100, with_ext_id: bool = True, **params
+        self,
+        query: str,
+        model="bm25",
+        k: int = 100,
+        with_ext_id: bool = True,
+        prune="auto",
+        **params,
     ) -> DataFrame:
-        """Top-k (doc_id[, ext_id], score, rank), reference tie-break."""
-        ranked = topk(self.scores(query, model, **params), k)
+        """Top-k (doc_id[, ext_id], score, rank), reference tie-break.
+
+        ``prune="auto"`` (default) sends high-posting-volume eligible
+        queries through the exact pruned operators (see _pruned_topk);
+        rankings and scores are identical to ``prune=False`` — only the
+        amount of postings scored changes.
+        """
+        m = self._model(model, **params)
+        ast = self.parse(query, m)
+        ranked = self._pruned_topk(m, ast, k, prune)
+        if ranked is None:
+            out = self.compiler(m).compile(ast)
+            self.index.trim_temps()
+            ranked = topk(out, k)
         if with_ext_id:
             ranked = attach_ext_ids(ranked, self.index.docs).select(
                 "doc_id", "ext_id", "score", "rank"
@@ -150,6 +238,7 @@ class SearchEngine:
         model="bm25",
         k: int = 100,
         fused: bool | str = "auto",
+        prune="auto",
         **params,
     ) -> DataFrame:
         """Evaluate (qid, query) pairs -> (qid, doc_id, ext_id, score, rank).
@@ -220,7 +309,13 @@ class SearchEngine:
         if pos_items:
             frames.append(self._fused_bm25_positional_batch(comp, pos_items, k))
         for qid, ast in rest:
-            frames.append(topk(comp.compile(ast), k).withColumn("qid", F.lit(qid)))
+            # queries outside the fused shapes still get the exact
+            # pruned operators when eligible (same auto threshold as
+            # single-query search) — e.g. a RankedBoolean positional
+            # batch at 4M-page posting volumes
+            pr = self._pruned_topk(m, ast, k, prune)
+            fr = pr if pr is not None else topk(comp.compile(ast), k)
+            frames.append(fr.withColumn("qid", F.lit(qid)))
         if not frames:
             return self.index.spark.createDataFrame(
                 [], "qid string, doc_id long, ext_id string, score double, rank int"

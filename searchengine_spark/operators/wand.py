@@ -155,3 +155,97 @@ def bm25_topk_pruned(
         F.broadcast(cand_blocks), on=blk == F.col("block_id"), how="inner"
     ).drop("block_id")
     return _exact_scores(cand, terms, idfs, k1, b, avg)
+
+
+def ranked_positional_topk_pruned(
+    index: InvertedIndex,
+    iop,
+    k: int = 10,
+    seed_docs: int = 4096,
+) -> DataFrame:
+    """Exact RankedBoolean top-k for a flat #NEAR/n / #WINDOW/n
+    -> driver-local (doc_id, score) frame of exactly the ranked top-k.
+
+    RankedBoolean scores a positional op by its merged tf
+    (compiler._leaf: QrySopScore.getScoreRankedBoolean), and every
+    match the merge emits consumes one position from EACH argument, so
+    ``tf(merge) <= min_i tf(term_i)`` — a per-doc upper bound computed
+    JVM-side from the scan, before any varbyte decode. Two phases
+    mirror ``bm25_topk_pruned``: exactly merge the ``seed_docs``
+    highest-bound docs -> θ = k-th exact seed score; any doc beating or
+    tying θ has ``bound >= score >= θ``, so the expensive
+    ArrowEvalPython merge re-runs only on the ``bound >= θ`` survivors.
+    The intermediate (doc_id -> position blobs) frame is persisted for
+    the two passes and released before returning — the k-bounded
+    result localizes, so no cache escapes to the caller (the
+    similarity.py ``_localized`` discipline).
+
+    Scores are the same int tf the exhaustive plan computes (same merge
+    kernel, same ``tf > 0`` filter), so rankings are bit-identical; a
+    seed phase with fewer than k scoring docs falls back to the
+    exhaustive merge over the already-persisted frame. BM25 positional
+    queries are NOT pruned here on purpose: the derived op's exposed
+    score needs its exact df (count of docs with merged tf>0 —
+    QrySopScore semantics), which only the full merge knows.
+    """
+    from searchengine_spark.operators.positional import positional_merge_udf
+
+    args = list(iop.args)
+    n_args = len(args)
+    fld = args[0].field
+    names = [a.term for a in args]
+    cond = (F.col("field") == fld) & F.col("term").isin(names)
+    if index.n_buckets:
+        cond = cond & F.col("bucket").isin(
+            sorted({term_bucket(t, index.n_buckets) for t in names})
+        )
+    ti = None
+    for i, t in enumerate(names):
+        m = F.col("term") == t
+        ti = F.when(m, F.lit(i)) if ti is None else ti.when(m, F.lit(i))
+    rows = index.postings.where(cond).select(
+        "doc_id", ti.alias("__ti"), "tf", "positions"
+    )
+    grouped = (
+        rows.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__ti", "positions"))
+            ).alias("__pm"),
+            F.min("tf").alias("__ub"),
+        )
+        .where(F.size("__pm") == n_args)  # match-ALL, decode-free
+        .persist()
+    )
+
+    merge = positional_merge_udf(iop.op, iop.dist, n_args, with_positions=False)
+    pcols = [F.element_at(F.col("__pm"), F.lit(i)) for i in range(n_args)]
+
+    def _exact(fr: DataFrame) -> DataFrame:
+        return (
+            fr.withColumn("__m", merge(*pcols))
+            .select("doc_id", F.col("__m.tf").alias("tf"))
+            .where(F.col("tf") > 0)
+            .select("doc_id", F.col("tf").cast("double").alias("score"))
+        )
+
+    spark = index.spark
+    schema = "doc_id long, score double"
+    seeds = grouped.orderBy(F.desc("__ub"), F.asc("doc_id")).limit(seed_docs)
+    seed_top = (
+        _exact(seeds).orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+    )
+    if len(seed_top) < k:
+        # tiny/sparse match set: the seed WAS (almost) everything —
+        # exhaustive merge over the persisted frame, no second decode
+        # of consequence
+        out = (
+            _exact(grouped).orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+        )
+        grouped.unpersist()
+        return spark.createDataFrame(out, schema)
+    theta = float(seed_top[-1]["score"])
+    surv = grouped.where(F.col("__ub") >= F.lit(theta))
+    out = _exact(surv).orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+    grouped.unpersist()
+    return spark.createDataFrame(out, schema)

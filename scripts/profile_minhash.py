@@ -117,6 +117,21 @@ def main() -> None:
         f"cand_hash={t_hash:.1f}s verify={t_verify:.1f}s "
         f"total={t_shingle + t_sig + t_cand + t_hash + t_verify:.1f}s"
     )
+    out = os.environ.get("PROFILE_OUT")
+    if out:
+        import json
+
+        row = {
+            "pages": N_PAGES, "docs": int(n_docs),
+            "cand_pairs": int(n_cand), "cand_docs": int(n_cand_docs),
+            "dup_pairs": int(n_pairs),
+            "shingle_sec": round(t_shingle, 1), "signatures_sec": round(t_sig, 1),
+            "candidates_sec": round(t_cand, 1), "cand_hash_sec": round(t_hash, 1),
+            "verify_sec": round(t_verify, 1),
+            "total_sec": round(t_shingle + t_sig + t_cand + t_hash + t_verify, 1),
+        }
+        with open(out, "a") as fh:
+            fh.write(json.dumps(row) + "\n")
 
 
 if __name__ == "__main__":

@@ -87,13 +87,24 @@ def _flat_op_leaves(ast):
     return ast.op, terms, list(ast.weights) if ast.weights else None
 
 
-# Auto-pruning threshold (VERDICT r4 item 4): an eligible query whose
-# estimated scanned-posting volume (sum of term df) reaches this routes
-# through the exact pruned operators in operators/wand.py instead of the
-# exhaustive plan. Below it the exhaustive single-scan plan is already
-# sub-second and the pruned path's 2-3 driver actions would only add
-# fixed cost. Results are rank- and score-identical either way (pinned
-# by tests/test_wand.py and the shared-oracle gate `bm25_wand_pruned`).
+# Auto-pruning (VERDICT r4 item 4) — wired, measured, and turned OFF by
+# measurement (PRUNEBENCH.json, 400k + 4M persisted indexes, quiet
+# host): the pruned paths were 1.3-6x SLOWER than the exhaustive
+# single-scan plans at every measured posting volume. Two structural
+# reasons, not tuning artifacts:
+#   1. The postings layout is bucketed/pruned by TERM (that is what
+#      makes every other query fast), so the block filter — an
+#      expression over doc_id — cannot reduce parquet I/O; the seed
+#      and candidate jobs each re-read the same term postings the
+#      exhaustive plan reads ONCE.
+#   2. The block upper bound sums per-term maxima, so for multi-term
+#      queries theta never excludes blocks (measured candidate-block
+#      fraction 1.00 on the 7-term headline query at 4M pages).
+# The exact pruned operators stay available (prune=True) and pinned
+# rank/score-identical by tests/test_wand.py + gate `bm25_wand_pruned`;
+# AUTO_PRUNE exists so a doc-partitioned index layout (where the block
+# filter CAN reach the scan) can flip it back on with one line.
+AUTO_PRUNE = False
 PRUNE_MIN_POSTINGS = 100_000
 
 
@@ -147,9 +158,11 @@ class SearchEngine:
         """Route an eligible AST through an exact pruned top-k operator.
 
         Returns the ranked frame, or None when the query/model shape is
-        not prunable or (``prune="auto"``) the estimated posting volume
-        is below PRUNE_MIN_POSTINGS. ``prune=True`` forces the pruned
-        path regardless of volume (tests pin identity at small scale).
+        not prunable or (``prune="auto"``) auto-routing is off
+        (AUTO_PRUNE, turned off by the PRUNEBENCH.json measurement) or
+        the estimated posting volume is below PRUNE_MIN_POSTINGS.
+        ``prune=True`` forces the pruned path regardless (tests pin
+        identity at small scale).
         Covered shapes — both proven rank/score-identical to the
         exhaustive plans:
 
@@ -187,7 +200,10 @@ class SearchEngine:
                     all(t.field == fld for t in leaves)
                     and len(set(names)) == len(names)
                     and self.index.avg_len(fld) > 0
-                    and (prune is True or _volume(leaves) >= PRUNE_MIN_POSTINGS)
+                    and (
+                        prune is True
+                        or (AUTO_PRUNE and _volume(leaves) >= PRUNE_MIN_POSTINGS)
+                    )
                 ):
                     scored = bm25_topk_pruned(
                         self.index, names, k=k, k1=m.k1, b=m.b, field=fld
@@ -196,7 +212,8 @@ class SearchEngine:
         if name == "rankedboolean":
             iop = _flat_positional(ast)
             if iop is not None and (
-                prune is True or _volume(iop.args) >= PRUNE_MIN_POSTINGS
+                prune is True
+                or (AUTO_PRUNE and _volume(iop.args) >= PRUNE_MIN_POSTINGS)
             ):
                 return topk(
                     ranked_positional_topk_pruned(self.index, iop, k=k), k
@@ -214,10 +231,12 @@ class SearchEngine:
     ) -> DataFrame:
         """Top-k (doc_id[, ext_id], score, rank), reference tie-break.
 
-        ``prune="auto"`` (default) sends high-posting-volume eligible
-        queries through the exact pruned operators (see _pruned_topk);
-        rankings and scores are identical to ``prune=False`` — only the
-        amount of postings scored changes.
+        ``prune="auto"`` (default) currently resolves to the exhaustive
+        plan: auto-routing through the pruned operators measured slower
+        at every scale (see AUTO_PRUNE / PRUNEBENCH.json). ``prune=True``
+        forces the exact pruned operators; rankings and scores are
+        identical either way — only the amount of postings scored
+        changes.
         """
         m = self._model(model, **params)
         ast = self.parse(query, m)

@@ -229,17 +229,30 @@ def main() -> None:
     brute_fn = lambda: similarity.cosine_topk(emb, qids, k=10).collect()  # noqa: E731
     brute_rows = brute_fn()
     report["p_ann_brute_sec"] = round(_best_of(brute_fn, 2), 3)
+    # bucket hashing is the one-time INDEX BUILD (mirrors the IVF
+    # build/query split below); queries pay only probe-join + rerank
+    # against the persisted bucket frame. The old one-call timing first
+    # reported ~0.3s here by accidentally re-reading a leaked cache,
+    # then ~10s at 4M once the leak was fixed — both wrong answers to
+    # "what does a query cost"; this split answers it honestly.
+    t0 = time.time()
+    lsh_idx = similarity.build_lsh_buckets(
+        emb, n_tables=16, bits=12, dim=64, plane_udf=True
+    )
+    report["p_ann_lsh_build_sec"] = round(time.time() - t0, 3)
     lsh_fn = lambda: similarity.lsh_bucket_topk(  # noqa: E731
-        emb, qids, k=10, n_tables=16, bits=12, dim=64, plane_udf=True
+        emb, qids, k=10, n_tables=16, bits=12, dim=64, plane_udf=True,
+        prebuilt=lsh_idx,
     ).collect()
     lsh_rows = lsh_fn()
     report["p_ann_lsh_sec"] = round(_best_of(lsh_fn, 2), 3)
     mp_fn = lambda: similarity.lsh_bucket_topk(  # noqa: E731
         emb, qids, k=10, n_tables=16, bits=12, dim=64, plane_udf=True,
-        n_probes=16,
+        n_probes=16, prebuilt=lsh_idx,
     ).collect()
     mp_rows = mp_fn()
     report["p_ann_multiprobe_sec"] = round(_best_of(mp_fn, 2), 3)
+    lsh_idx[0].unpersist()
     truth = {(r["query_id"], r["vec_id"]) for r in brute_rows}
     got = {(r["query_id"], r["vec_id"]) for r in lsh_rows}
     mp_got = {(r["query_id"], r["vec_id"]) for r in mp_rows}
@@ -304,11 +317,18 @@ def main() -> None:
     ).persist()
     embc.count()
     cb = similarity.cosine_topk(embc, qids, k=10).collect()
+    t0 = time.time()
+    cl_idx = similarity.build_lsh_buckets(
+        embc, n_tables=16, bits=12, dim=64, plane_udf=True
+    )
+    report["p_ann_lsh_clustered_build_sec"] = round(time.time() - t0, 3)
     cl_fn = lambda: similarity.lsh_bucket_topk(  # noqa: E731
-        embc, qids, k=10, n_tables=16, bits=12, dim=64, plane_udf=True
+        embc, qids, k=10, n_tables=16, bits=12, dim=64, plane_udf=True,
+        prebuilt=cl_idx,
     ).collect()
     cl_rows = cl_fn()
     report["p_ann_lsh_clustered_sec"] = round(_best_of(cl_fn, 2), 3)
+    cl_idx[0].unpersist()
     ct = {(r["query_id"], r["vec_id"]) for r in cb}
     cg = {(r["query_id"], r["vec_id"]) for r in cl_rows}
     report["p_ann_lsh_clustered_recall_at10"] = round(

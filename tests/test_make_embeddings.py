@@ -168,6 +168,30 @@ def test_multiprobe_default_unchanged(spark):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+def test_prebuilt_buckets_identical_to_one_call(spark):
+    """lsh_bucket_topk(prebuilt=build_lsh_buckets(...)) must match the
+    one-call path exactly (same planes seed), for both n_probes=1 and
+    multi-probe, and must NOT unpersist the caller's bucket frame."""
+    emb = make_embeddings(spark, 1200, dim=16)
+    qids = [5, 7]
+    kw = dict(k=5, n_tables=6, bits=6, dim=16)
+    # one-call results first: its internal unpersist() removes the cache
+    # entry for the (identical) hashed plan, so interleaving it after
+    # build_lsh_buckets would clobber the prebuilt frame's cache
+    one = {
+        p: similarity.lsh_bucket_topk(emb, qids, n_probes=p, **kw).collect()
+        for p in (1, 8)
+    }
+    idx = similarity.build_lsh_buckets(emb, n_tables=6, bits=6, dim=16)
+    for probes in (1, 8):
+        b = similarity.lsh_bucket_topk(
+            emb, qids, n_probes=probes, prebuilt=idx, **kw
+        ).collect()
+        assert [tuple(r) for r in one[probes]] == [tuple(r) for r in b], probes
+    assert idx[0].storageLevel.useMemory  # still cached: caller releases
+    idx[0].unpersist()
+
+
 def test_multiprobe_keys_ordering():
     """Probe enumeration: base key first, then flips in increasing
     total-margin order; all keys distinct; n_probes respected."""

@@ -457,6 +457,311 @@ wilderness willing willow wince winch wind windmill wine wire wise withdraw
 wither within without withstand witness witty wooden worship worthy would
 wreath wreck wren wrestle wrist wrong yacht yak yank yarn yearn yeast yellow
 yield yoke yolk young yourself zag zealous zebra zero zig zombie zone zoo
+abandon abbreviate abdomen abject ablaze abolish abound abreast abrupt
+absolute abuzz accelerate accent acclimate accommodate accordion accost
+accumulate acorn activate acuity adamant adept adjacent adjourn admiral
+admonish adobe adrift advertise advocate aerial affable affair afflict
+affluent afloat afoot aftermath aggregate aghast agility agitate agog agony
+ahead ajar akin alcove alfalfa alienate alight aliquot alkaline allergic
+alleviate alligator allot alloy ally almanac almshouse aloft aloud alphabet
+alternate altitude aluminum amber ambient ambiguity ambulance ambush amethyst
+amiss ammunition amnesty amphitheater ample amputate amuck anagram anatomy
+ancillary anecdote anemic angular animate animation animosity annex annotate
+announce anoint antenna anterior anthill anthology antidote antique antler
+anvil aorta apathy aperture apex aphid apostle appease append applaud
+appliance apprehend apprentice approach apricot aquarium aqueduct arable
+arbitrate arcade arcane archer archipelago archive archway ardent arduous
+armada armchair armor armpit armrest arsenal artery artichoke articulate
+artifact ascend ascertain ashcan ashtray askew asphalt aspire aspirin assail
+assassinate assess assimilate asteroid astir astonish astound astronaut
+astronomer astute asylum atrium atrocity attain attire atypical audacious
+audacity auditorium augment aurora austere austerity authentic autograph
+automate autonomy avalanche avenge aviator avid awash awhile awning axle
+backbone backpack backward bacterium badger bagel bagpipe bailiff ballad
+ballast ballerina ballroom balustrade banal banality bandage bandit bandstand
+banish banjo bankruptcy banquet banter baptism barbaric barbecue barber
+barcode barge baritone barley barnacle barnyard barometer barracuda barrier
+bartender bashful basil basilica bask bassoon bastion bathhouse bathtub baton
+bayonet bayou bazaar beacon beaker beanstalk beckon bedraggled bedrock bedroom
+bedspread beech beehive beet befriend begonia behemoth behold beige belated
+belfry bellboy bellhop bemoan bemused benchmark benevolent benign berate
+bereft beret berserk bewilder bicep bifocal bilateral bilingual billboard
+billfold binder binocular biology bipartisan biplane birch birdbath birdcage
+birthday bison blackberry blackboard blacken blacksmith bladder blatant bleary
+blemish blissful blister blitz blizzard blot blowtorch blueprint bluff blur
+bluster boardwalk boathouse bobcat bodyguard boiler boisterous bollard bolster
+bombard bona bonfire bongo bookcase bookend bookmark bookshelf bookstore
+boomerang botany boulder boulevard bovine bowtie bracket brackish bramble
+brandish brash brawny brazen bread breadcrumb breakfast breastplate brevity
+brewery brickyard briefcase brigand brighten brittle broaden broccoli brochure
+bronco brook broomstick broth brunch brusque brutality buffoon bugle bulbous
+bulky bulldozer bulletin bullfrog bumblebee bumpy bungalow bunion bunkhouse
+buoyant burglary burlap burly burner burnish bursary buttercup buttress bygone
+cabbage caboose cadet cafeteria caffeine calamity caldron calendar caliber
+calibrate calipers camper campfire campground campsite campstool candelabra
+candid candidate candlestick candy canister cannonball canopy cantaloupe
+canteen canvasback capsule caption captivate captivity caravan caraway
+carburetor cardboard cardiac cardigan cardinal carefree caricature carnation
+carnival carousel carpenter carport carriage casserole cassette catacomb
+catalog catapult cataract catfish cathedral catwalk cauldron causality
+causeway caustic causticity cavity cedarwood cellophane centenary centipede
+ceramic cerebral chalkboard chandelier chaperone chaplain charter chauffeur
+checkpoint cheekbone cheetah cherish chestnut chic chickadee chipmunk chisel
+chivalrous chivalry chowder christen chronicle chubby chug churchyard cinder
+cinnamon circular citadel civility clammy clandestine clarinet clarity cleaver
+clemency clipboard clipper cloakroom clobber clocktower clot clover coalmine
+coarsen coastal cobbler cobweb cockpit cocktail cocoon codex codify cogent
+cohere collide cologne colossal colt comatose combative comedian comely
+commemorate commodity commonplace communal commuter compensate complexity
+complicate complicity comply compound compulsory concave conceal concede
+concentric concoct concourse concurrent condemn condense condiment condo
+condone condor conduit confer confess confetti confide confine confiscate
+congenial congested conglomerate congregate congregation conifer conjoint
+conjugate conjure connate connoisseur consecrate conservatory consign
+consolidate consonant conspiracy constable constellation constituency
+constrain consulate contemplate continuity contort contradict contraption
+contrite convene converge convex convict convulse cookbook copilot copious
+copperhead cordless coriander corkscrew cornbread cornfield cornice coroner
+corporeal corral correlate corroborate corsage cortex cosmonaut cottonwood
+cougar courier courtesy courtyard covert cower coyote crafty crampon cranberry
+crankcase crankshaft craven crayfish creampuff credibility creek crescent
+crestfallen crevasse crockery crocodile croissant crooked crop crossbeam
+crossbow crossword crowbar crucible cruelty cruiser crumpet crusade crutch
+cryptic cubicle culminate culvert cumbersome cupboard cupcake curator curfew
+curiosity curriculum cursory curt custody cutlery cyclone cylinder cymbal dab
+daffodil daft dagger dainty dally dampen dandelion dapper darken dashboard
+dastardly daunting daybreak dazzle deacon deafen debut decadent decanter
+decathlon decelerate decency deciduous deckhand decompose decoy decrepit decry
+deduct deepen deflect deformity defraud deft defunct dehydrate deity delineate
+delta demolish demure denounce dentistry depict deplete deplore deploy
+depravity depress deprive derail derelict derrick descry detain detonate
+detour detract devastate deviate devious devise devout dexterity diagonal
+dictator differentiate diffuse digit dignity dilapidated dilate diminish
+dinghy dingy dinosaur diploma diplomacy dipstick directory dirigible disagree
+discharge disclaim disclose discomfort disconnect discourage discredit disdain
+disembark disenchant disguise disinfect dislike dislodge dismal dismantle
+dismount disown disparity dispel dispense dispenser disperse displace
+dissipate dissuade distill distrust diversity dividend docile dodge dogged
+doghouse dolorous dolphin doorbell doorknob doormat doorstep dormitory dose
+douse dovetail dowdy downpour drab dragnet dragonfly dramatize dresser dribble
+driftwood drizzle drowsy drumstick dub ductile ductility dulcet dumpling dun
+dungeon duplex duplicate duplicitous dustpan dutiful dynamo earlobe earmuff
+earring earthworm easement eavesdrop ecology eerie efficacy effigy effusive
+eggplant eggshell elasticity elated electricity electrify elegy elevate elite
+elk elongate elucidate elusive emanate emancipate embankment ember embolden
+embroil emerald emigrate emit empathy emphatic emporium empower emulate
+emulsify encamp encircle enclosure encroach encyclopedia endorse endow endure
+engrave enigma enigmatic enlighten enliven enmity enormity ensemble enslave
+entice entourage entrench enumerate enunciate envision envoy enzyme ephemeral
+epilogue epoch equality equate equidistant equity eradicate err ersatz erudite
+escort esoteric espresso estuary eternity ethnicity eucalyptus eulogy euphoric
+evacuate evade evaporate evergreen evict evoke ewe exacerbate excavate excerpt
+excite exclaim exemplify exempt exhilarate exhort exonerate exorbitant expanse
+expedient expedite expedition expend experience expunge exquisite extant
+extort extrapolate extremity exuberant exude eyebrow eyedropper eyelash eyelid
+fabricate facetious facilitate fairway falconer fallacy fallow fan farmhouse
+fastidious fathom fatigue faucet fawn faze fecundity fedora feign felicitate
+felony feral ferality ferment ferocity ferret fertilize fervent fib fickle
+fictitious fiddle fidelity fieldwork fiesta figment finalize finery finesse
+fingertip finite firefly fireplace firetruck firewood fishhook fixture fjord
+flagpole flagrant flagship flamingo flashlight flatten flatter fleece flicker
+flimsy flippant flipper floodgate florist flotilla flounder fluctuate fluency
+fluffy fluidity fluorescent fluster foal foghorn folklore footbridge foothill
+foothold footnote footprint footstool forearm forecast foreclose forehead
+foreman forewarn forklift forlorn formality formulate forthright fortnight
+foxglove foyer fractional frailty fraternity fraught freckle freeway freighter
+fresco freshen frigate frighten fritter frivolity frivolous frolic frothy
+frugality frumpy fudge fulcrum fulsome fumble fumigate fuselage futility
+gaiety gallant gallantry galvanize gangly gangplank garish garner garrulous
+gatehouse gaudy gaunt gazebo gazelle gazette gearbox gecko generalize
+generosity genial gentility gentrify germinate gesture geyser ghastly gherkin
+gimmick glade glaze gleam glib glider glisten glitter glossary glossy gnarled
+goblet goblin godmother goldfish gondola gong gopher gourd granary grandiose
+grandstand grapefruit grapevine grasshopper gravel gravestone gravitate
+gravity greenhouse griddle grieve griffin grimy grindstone grotto groundhog
+grouse grubby gruff guaranty guardian guidebook gullible gumdrop gunpowder gut
+gymnasium gyrate gyroscope hacksaw haddock hailstone hairbrush hairpin hale
+hallway hamlet hammock hamster handbag handbook handcuff handlebar handrail
+hangar haphazard hapless harden hardy harry hasten hatchet haughty haven
+hawthorn hayloft haystack hazy headband headlight headline headphone headrest
+hearten hearth hearty heath hedgerow hefty heighten heinous heirloom
+helicopter hemisphere henhouse herbal heredity heron herring hexagon hibernate
+hickory hideout hierarchy highway hilarious hilarity hillside hilltop
+hippopotamus hitch hoard hoarse hologram homely homestead homestretch homework
+honesty hoodwink horsefly horseshoe hosepipe hostility hotbed hourglass
+houseboat hovercraft hubcap huddle humane humanity humdrum humidity humiliate
+humility hummingbird humph hunch hunker hurricane hush husk husky hydrate
+hyena hypnotize icebox icicle icky iconic identity ideology idolize idyllic
+igniter iguana illuminate immaculate immensity immerse immobile immunity
+immunize impair impart impeach impeccable impede imperative imperious
+impervious impetuous implacable implant implicate implore impose imprint
+imprison impromptu improper improvise impunity inane incarcerate incinerate
+incite incubate incubator indemnify indoctrinate inept inert infamy infernal
+infiltrate infinity infirmary inflate inflict infringe infuse ingot ingratiate
+iniquity inkstand inkwell innocuous innovate inquisitive inscription insidious
+insignia insinuate insipid insolent insolvency instigate instill insulate
+insurgency integrity intensity interject interlock intermingle intermission
+interrogate intersect intersection intertwine interval intervene intimacy
+intimidate intrepid intrigue inundate invalidate invigorate invoice iota irate
+irksome irrigate irritate itemize itinerant jackal jackpot jaded jagged jam
+jamboree jaunty javelin jawbone jeopardy jiggle jigsaw jocular jollity jostle
+jovial jubilant jubilate judicious juggle jukebox jumble junction juniper jut
+juxtapose kangaroo kayak keenly keepsake ketchup keyhole keyring khaki
+kilogram kilometer kindle kingdom kinship knapsack kneecap knuckle koala
+labyrinth lacerate lactate lagoon lair lambast laminate lampshade landfill
+landlord landmark languish lanky lapdog lapel larder lark lasagna latitude
+lattice laurel lavender lawsuit lax laxity lectern ledger leech leery legacy
+legion legislate legitimize lemonade lentil lessen lethargic lethargy levee
+levity liberate lifeboat lifeguard lighten lighthouse likening lilac lily
+limber limescale limousine linchpin lineage lineup linguist lintel liquefy
+liquidate liquor listless literate lithe liturgy livid llama lob locket
+locksmith locomotive locust lodestone lofty loin loiter lollipop longevity
+longitude lookout loosen loquacious lozenge lubricate lucrative ludicrous lug
+luggage lukewarm lullaby lumberjack luminous lunacy lunch luncheon lurid
+luscious lustrous lynx macabre macaroni mackerel madden maestro magazine
+maggot magistrate magnolia mahogany mailbox maim mainland mainstay majesty
+makeover malady malign mallard malleable mallet mammoth mandate mandolin
+manger mangy manifold mannequin manor mantel mantis mar marathon marigold
+marina marinate mariner marketplace marmalade marquee marrow marsupial mascot
+masquerade masterpiece mastery mastiff matchbox matchstick maternity matrimony
+matrix mattock maudlin mausoleum maverick maximize mayor meadowlark meander
+medallion mediocre mediocrity meditate meek megaphone melancholy mellifluous
+membrane memoir memorialize menace menial merchant meridian meringue mesa
+mesmerize metabolize metaphor meticulous metronome mezzanine microphone
+microscope midday midnight midpoint mileage milestone militia millennium
+minaret minefield mingle miniature minnow minstrel mirthful miscalculate
+miserly misery mishap misplace mistletoe mitten mobility moccasin mockingbird
+modality modernize modesty modish modulate moisten molar molecule mollify
+mollusk monarchy monetize monocle monogamy monopolize monorail monsoon moot
+moped moraine morale morality morbid moribund morose mortality mortar mortify
+mothball motif motorcade motorcycle mouthpiece mozzarella mudslide muffin
+muggy mulberry mullet multiple multitude mumble mummify murky muse muskrat
+mutate muted mutilate mutiny muzzle myopic mythology nab nag nanny narrate
+narrative nascent nauseate nautical nebulous necessitate necessity necktie
+nectar nectarine nefarious neighborhood net neuron neutralize newsletter
+newsstand nicety nightfall nightingale nightstand nimbus nitrogen nobility
+nocturnal nomad nonchalant nondescript noodle normalcy normalize nostril
+notarize notebook notepad notoriety nourish nova novella novelty nubile nudity
+nuisance numeral nurture nutmeg nylon oarlock obesity objectify obliterate
+oblivious oboe obscurity obstacle obstinate obstruct obtuse octagon oddity
+odious odyssey offbeat officiate offspring ointment oleander olfactory olive
+omelet omen ominous onerous onlooker onslaught opacity opal opaque optician
+opulent oracle orangutan ordain oregano orientate originate oriole ornery
+oscillate ossify ostensible ottoman outback outboard outcrop outhouse
+outlandish outlast outnumber outperform outpost outrun outshine outskirts
+outsmart outweigh overcoat overestimate overrate overreact oversimplify
+overture overwhelm oxbow oxcart oxidize ozone pagoda palatable palette pallid
+paltry pamper pamphlet pan pancake pancreas panorama pantry papaya paperweight
+paprika parabola parachute paradox parakeet paralyze paramount parapet
+paraphrase parasol parch parchment parka parkway parsnip partition partridge
+pastel pasteurize pastoral pastry patchy paternity pathway patio patriarch
+patron paucity pavilion peacock pecan pedagogy pedestal pedestrian pediment
+pelican pelt penalize pendant pendulum penetrate penguin peninsula penknife
+pennant pensive penthouse peppy percussion perforate perimeter periscope
+perjury perky permafrost permeate pernicious perpetuate perplexity personalize
+pertinent perturb pesky pester petite petrify petulant petunia pewter phantom
+pharmacy pheasant philosophy phoenix phony photograph pickaxe pickle picnic
+picturesque pier piety pigment pigpen pigtail pilfer pilgrim pillbox
+pillowcase pinafore pincer pinecone pinnacle pinpoint pinwheel pistachio
+pitchfork pithy placard placemat placid plagiarize plaintive planetarium
+plankton plateau platoon playground playpen plaything playwright pliable
+plowshare plucky plummet plunder plush plywood poach poacher pocketbook podium
+poignant poinsettia poised polity polka pollinate pollute pomegranate pompous
+poncho pontoon poodle popcorn poplar poppy porcelain porcupine porous porthole
+portly posh postcard poster posterity postulate posture potable potency
+potluck pottery poultice poverty powerhouse precinct precipice precipitate
+preclude predator predominate prelude premiere premise preoccupy prescribe
+presto prettify pretzel prickly prim primrose privacy privatize privet
+probability probation procession proclivity procrastinate procreate prodigy
+profanity professionalize professor proficiency profundity progeny prognosis
+prohibit proliferate prolific prologue promenade promulgate propagate propel
+propellant propeller propensity prophecy proprietor prosecute prosperity
+protein prototype protractor protrude proverb province provoke prow proximity
+prudery prudish prune psalm pseudonym psyche pterodactyl puberty publicity
+publisher puddle pufferfish pulley pullover pulsate pulverize pumpkin puncture
+pungency puny puppy purity pushcart pushy putrefy putty pylon python quadrant
+quadruple quagmire quail quality quantity quarterback quartet quasar quiche
+quicken quicklime quicksand quiz quizzical quota quotient rabid racetrack
+raceway racket radiate radish rafter ragtime ragweed raincoat rambunctious
+ramify rampart rancher rancid randomize ransom rapport rapt raptor rarefy
+rascal ratiocinate ration rationalize raucous ravenous ravioli ravish rawhide
+reactor rebate rebuff rebuke recalcitrant recant receptacle recipe reciprocate
+reclaim recliner reclusive recoil recommend reconsider rectangle recuperate
+redden rediscover redolent redwood reedbed referee reflex reformulate
+refrigerate refuge refurbish regard regenerate regiment registry regurgitate
+rehearsal reiterate rejoin rejuvenate rekindle relay relegate relent relieve
+relish reminisce remiss remunerate renegade renounce renovate repatriate
+repent repertoire replete replicate reprimand repudiate repulse reservoir
+resilient resolute resonate resound resplendent restate restrain resurrect
+resuscitate retaliate reticent retina retract retrench reunite reverberate
+revitalize revive rhinoceros rhubarb rickety ricochet rife rigidity ripen
+risque rivalry riverbank riverbed roadblock roadhouse roadway robin
+rollercoaster rooftop rosebud rosemary roster rostrum rosy rotund rotunda
+roughen roulette roundabout rowboat rowdy royalty rucksack ruddy rudimentary
+rueful ruffian rugged ruminate runic runway rye saber sable sadden saddlebag
+sagebrush sailboat salamander salary salinity salivate sallow salsa salute
+sanctify sanctity sandal sandbar sandpaper sandstone sanitize sanity sapphire
+sardonic sassy satellite saturate savagery savvy sawdust sawhorse sawmill
+saxophone scabbard scallop scamper scanty scarcity scarecrow scarf scavenge
+schooner scimitar scoreboard scorpion scrapbook scrawny scruffy scrutinize
+scurry seabird seamless seashell seashore secrecy sedate seedling seedy
+segregate semicircle senate senility seniority sentry sequel sequoia serenade
+serendipitous serenity serum severity shabby shamrock shantytown sharpen
+shimmy shipyard shoal shoddy shoehorn shoelace shorten shotgun showcase shrewd
+shrill shrivel shuttle sicken sideboard sidecar sidestep sidewalk signode
+signpost silhouette silo similarity simplicity sincerity siphon sitar
+skateboard skid skimpy skylark skylight skyline skyscraper slacken slather
+sleazy sledge sleigh slick slingshot slither slog sluggish slur sly smokestack
+smolder smother smug snapdragon snicker snide snowdrift snowflake snowplow
+snowshoe snub sobriety socialize soften soggy sojourn solarium solidarity
+solvency solvent somber sombrero sonata sonnet soot souvenir sovereignty spa
+spaghetti sparsity spatula spearhead spearmint specimen spectacle spectrum
+sphinx spigot spinach spindle spontaneity spool sprocket spry spurious
+spyglass squander squash squeamish squirm stability stagecoach stagger
+stagnate staid staircase stairway stairwell stallion stalwart stampede
+stanchion standardize starboard starfish statute steamboat steamship steeple
+stencil stepladder sterility sterilize stiffen stifle stigmatize stitch
+stockpile stocky stodgy stoic stomach stopwatch storefront storyteller
+stovepipe stowaway straighten strangle strategize streetcar strenuous
+stretcher strew strident stringent strudel stubby stud stuffy stultify stupefy
+stupidity stylist suave subcontinent subdue subjugate sublimate sublime
+submarine subside subsidize subsidy subtlety succinct succulent suffocate
+suitcase sultry sumptuous sunbeam sundial sundry sunflower sunrise sunset
+sunshine superhighway supple supremacy surety surfboard surly surmise surmount
+svelte swab swanky swordfish sycamore symmetry symphony synagogue synchronize
+synergy synthesize syringe tabernacle tablecloth tabulate tacit tactful
+tactile tadpole taffeta tailgate tambourine tamper tandem tangerine tangy
+tantalize tapestry tapioca tarantula tardy tarpaulin tattoo tawdry tawny
+teaspoon technology telegram telegraph telemetry teller tempest tempo
+tenacious tenacity tentacle tenuous tepee terrarium terrier terse testimony
+textbook thatch theater theocracy therapy thermometer thermos thimble thistle
+thoroughfare threshold thrifty throttle thumbtack thunderstorm tiara tighten
+tightrope timberline timely timidity tinker tollbooth tollgate tong toolbox
+topaz torchlight tornado torpid torrent tote toucan tourniquet towel township
+trample trampoline tranquility transcend translucent transpire trapdoor
+trapezoid traumatize traverse trawler treacherous treachery treadmill treetop
+trellis tremulous tributary trickery tricycle trilogy trinity trinket tripod
+trite trod trove trowel truce truculent truncate tugboat tundra turbulent
+turgid turnpike turnstile turntable turquoise tuxedo twister typhoon typify
+tyranny ubiquitous ukulele unbutton uncouth uncover undercurrent undergo
+undergrowth underscore understand undulate unduly unicorn unicycle unity
+unkempt unruly unsettle untangle unwieldy unwind upbeat upholstery uplift
+uppity uproute urgency usurp utensil utility vacancy vacate vaccinate vagary
+vagrant valency valise vandalize vanguard vanity vanquish vantage vapid
+vaporize variety vassal vat veal vegetate vehement vellum velocity venerate
+ventilate veracity veranda verbose verbosity verdict verity versatile vertebra
+vestibule vex vicarious viceroy vicinity viewpoint vigil villain villainy
+vindicate viola violoncello vireo virginity virility virtuosity viscosity
+visor vitality vivacious vivacity vivify vixen vocalize volleyball voltage
+voracious vulgarity vulture wag wagtail walkway wallboard wallet wallow walnut
+waltz wanton warbler warden warehouse warthog washboard washtub watchdog
+watchtower waterfront waterway wavelength wayward weaken weathervane weevil
+wellspring wheelbarrow whimsical whippoorwill whirlpool whirlwind whiten whiz
+wholesaler wholesome widen wigwam wildcat willful wily windlass windmill
+windpipe windshield wingspan wingtip wiretap wishbone wisteria wistful woeful
+woodland woodpecker woodpile woodshed workbench workbook workshop wormhole
+worsen wrench wriggle wristband wry yardstick yearbook yoga yogurt zany zap
+zeppelin zesty zinnia zipline zoology zucchini
 """.split())
 
 
@@ -491,6 +796,10 @@ def krovetz_lite(word: str) -> str:
             return w[:-1]
         return cand
     if w.endswith("sses"):
+        if w[:-2] in KSTEM_LEXICON:  # classes -> class
+            return w[:-2]
+        if w[:-1] in KSTEM_LEXICON:  # finesses -> finesse
+            return w[:-1]
         return w[:-2]
     # KStem's plural guard is "-ss" and "-ous" ONLY (adjectives like
     # famous); "-us" nouns (virus, census, status, bureau's plural ...)

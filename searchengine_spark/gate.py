@@ -552,7 +552,10 @@ def _kstem_case(c: dict, mem: dict) -> str:
    (CASE WHEN {mem['s3y']} THEN {s3y}
          WHEN {mem['s1']} THEN {s1}
          ELSE {s3y} END)
- WHEN ends_with({w}, 'sses') THEN left({w}, length({w}) - 2)
+ WHEN ends_with({w}, 'sses') THEN
+   (CASE WHEN {mem['s2']} THEN {s2}
+         WHEN {mem['s1']} THEN {s1}
+         ELSE {s2} END)
  WHEN ends_with({w}, 'ss') OR ends_with({w}, 'ous') THEN {w}
  WHEN ends_with({w}, 'es') AND length({w}) >= 4 THEN
    (CASE WHEN {mem['s1']} THEN {s1}

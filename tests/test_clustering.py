@@ -142,3 +142,55 @@ def test_simhash_banding_matches_bruteforce(spark):
         for r in dedup.simhash_pairs(docs, max_hamming=3).collect()
     }
     assert got == expected and expected  # non-vacuous: some pairs exist
+
+
+def test_shingle_hash_prefix_identity(spark):
+    """The 40-bit MinHash base (MH_H, 10 hex chars of md5) must equal
+    the 60-bit verify hash (SHINGLE_HASH_SCALAR, 15 hex chars) shifted
+    right 20 bits — the identity _hashed_sig relies on to md5 each
+    shingle once. Checked JVM-side over a varied shingle sample."""
+    from pyspark.sql import functions as F
+
+    rows = [(f"tok{i} tok{i+1} tok{i+2}",) for i in range(200)]
+    rows += [("a b c",), ("zz yy xx",), ("1 2 3",)]
+    df = spark.createDataFrame(rows, "s string")
+    bad = (
+        df.withColumn("hh", F.expr(dedup.SHINGLE_HASH_SCALAR.format(s="s")))
+        .withColumn("h40", F.expr(dedup.MH_H))
+        .where(F.shiftright("hh", 20) != F.col("h40"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_pairs_path_unchanged_by_hashed_sig(spark):
+    """minhash_lsh_pairs output (ids AND jaccard values) recomputed
+    against exact shingle-hash-set Jaccard — pins that the one-pass
+    _hashed_sig restructure changed no exposed value (jaccard is
+    set/size-based, so the collect_list order is immaterial)."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.functions.hashing import shingles, tokens
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    got = sorted(
+        (int(r["id_a"]), int(r["id_b"]), float(r["jaccard"]))
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.8).collect()
+    )
+    assert got, "no near-dup pairs found on the test corpus"
+    sh = {
+        int(r["id"]): set(r["hh"])
+        for r in docs.select(
+            F.col("doc_id").alias("id"), tokens("text").alias("__toks")
+        )
+        .select("id", shingles("__toks").alias("__sh"))
+        .select(
+            "id",
+            F.expr(dedup.SHINGLE_HASH.format(col="__sh")).alias("hh"),
+        )
+        .collect()
+    }
+    for a, b, j in got:
+        inter = len(sh[a] & sh[b])
+        exact = inter / (len(sh[a]) + len(sh[b]) - inter)
+        assert abs(j - round(exact, 6)) < 1e-9, (a, b, j, exact)

@@ -178,6 +178,22 @@ def main() -> None:
         3,
     )
     ivf_assigned.unpersist()
+    # Same build/query split for the LSH ANN family (build_lsh_buckets
+    # is the one-time hashing pass; prebuilt queries pay probe+rerank).
+    t0 = time.time()
+    lsh_idx = similarity.build_lsh_buckets(edf, n_tables=8, bits=8, dim=64)
+    queries["p_ann_lsh_build"] = round(time.time() - t0, 3)
+    queries["p_ann_lsh_query"] = round(
+        _best_of(
+            lambda: similarity.lsh_bucket_topk(
+                edf, [0, 1, 2], k=10, n_tables=8, bits=8, dim=64,
+                prebuilt=lsh_idx,
+            ).collect(),
+            2,
+        ),
+        3,
+    )
+    lsh_idx[0].unpersist()
     queries["p_token_stats"] = round(
         _best_of(lambda: __import__("searchengine_spark.pipeline.textstats", fromlist=["token_stats"]).token_stats(ddf).count(), 2), 3
     )
